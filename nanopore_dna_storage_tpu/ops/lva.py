@@ -1,0 +1,359 @@
+"""Batched list-Viterbi (parallel LVA) decoder over the joint
+(position x conv-state x CRF-state) trellis — pure JAX, vmap over reads,
+lax.scan over signal blocks.
+
+Faithful TPU-native reformulation of ``decode_post_conv_parallel_LVA``
+(reference viterbi/viterbi_convolutional_code.cpp:589-858):
+
+* The per-state lazy heap merge with message dedup (cpp:744-799) becomes a
+  fixed-round K-way merge: each of the Q = 1 + 4*8 predecessors (stay plus
+  (conv-candidate, CRF-predecessor) pairs) exposes a sorted candidate list
+  (its predecessor's sorted L-list plus a transition score); each round takes
+  the global head via argmax, rejects messages already accepted (exact
+  multi-word compare), and advances that predecessor's pointer. With
+  merge_rounds >= Q*L this is exhaustive (exact reference semantics); the
+  production default 2L+2 is validated against golden lists.
+* Messages are carried as packed uint32 words per (state, list-slot), like the
+  reference's 256-bit bitsets (cpp:28-29,607-620) — no traceback.
+* The beam (max-deviation window, cpp:673-687) is a dynamic slice over the
+  position axis; out-of-window states keep stale values in the inactive buffer
+  exactly like the reference's swapped double buffers, which matters for
+  bit-parity at the trailing edge of the beam.
+* Conv-state predecessor gathers use the shift-register structure
+  (prev = (k*s + c) mod 2^m  <=>  reshape+tile), not per-state index tables.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DecodeConfig
+from ..coding.conv import ConvCode, NSTATE_CRF
+from ..trellis import tables as tb
+
+NEG_INF = -jnp.inf
+NCRF = NSTATE_CRF  # 8
+NC = 4  # conv-candidate slots (2 used by pattern 0)
+NQ = 1 + NC * NCRF  # predecessors per state: stay + (c, g)
+
+
+def msg_words(code: ConvCode) -> int:
+    return -(-(code.config.msg_len + code.mem) // 32)
+
+
+@dataclasses.dataclass(frozen=True)
+class LVASpec:
+    """Static decode problem spec: everything shape-determining."""
+
+    code: ConvCode
+    list_size: int
+    merge_rounds: int
+    window: int
+    npos_pad: int  # includes 1 leading ghost row for position -1
+    n_msg_words: int
+
+    @classmethod
+    def build(cls, cfg: DecodeConfig) -> Tuple["LVASpec", tb.TrellisTables]:
+        from ..coding.conv import make_conv_code
+
+        code = make_conv_code(cfg.code)
+        tabs = tb.build_tables(code, cfg.max_deviation)
+        return cls(
+            code=code,
+            list_size=cfg.list_size,
+            merge_rounds=cfg.merge_rounds_,
+            window=tabs.window,
+            npos_pad=tabs.npos_pad + 1,
+            n_msg_words=msg_words(code),
+        ), tabs
+
+
+def _consts(spec: LVASpec, tabs: tb.TrellisTables):
+    """Device-constant tables (small, replicated)."""
+    return dict(
+        stay_idx=jnp.asarray(tb.stay_post_index()),  # [8]
+        move_idx=jnp.asarray(tb.move_post_index()),  # [8,8]
+        crf_mask=jnp.asarray(tb.crf_move_mask()),  # [8,8]
+        base_out=jnp.asarray(tabs.base_out.astype(np.int32)),  # [4,C,4]
+        newbits1=jnp.asarray(tabs.newbits1.astype(np.uint32)),  # [C]
+        newbits2=jnp.asarray(tabs.newbits2.astype(np.uint32)),  # [C]
+        # valid_state with the leading ghost row (pos -1): all False.
+        valid_state=jnp.asarray(
+            np.concatenate([np.zeros((1, tabs.nstate_conv), bool),
+                            tabs.valid_state])),  # [npos_pad, C]
+        pattern_of_pos=jnp.asarray(
+            np.concatenate([[0], tabs.pattern_of_pos]).astype(np.int32)),
+    )
+
+
+def _shift_msg(msg: jnp.ndarray, shift: jnp.ndarray,
+               newbits: jnp.ndarray) -> jnp.ndarray:
+    """msg' = (msg << shift) | newbits over packed uint32 words.
+
+    msg: [..., M] uint32, word 0 = least-significant. shift in {0,1,2}
+    broadcastable to [...]; newbits broadcastable to [...].
+    """
+    shift = shift.astype(jnp.uint32)[..., None]
+    carry_shift = jnp.where(shift == 0, jnp.uint32(1), 32 - shift)
+    up = msg << shift
+    carry = jnp.where(shift == 0, jnp.uint32(0), msg >> carry_shift)
+    carry = jnp.concatenate(
+        [jnp.zeros_like(carry[..., :1]), carry[..., :-1]], axis=-1)
+    out = up | carry
+    first = out[..., 0] | newbits.astype(jnp.uint32)
+    return jnp.concatenate([first[..., None], out[..., 1:]], axis=-1)
+
+
+def _expand_conv_sources(x: jnp.ndarray, k: int, nstate_conv: int) -> jnp.ndarray:
+    """Predecessor view over the conv axis (axis 1 of [W, C, ...]).
+
+    out[w, s, c] = x[w, (k*s + c) mod C] for c in [0, k); implemented as
+    reshape+tile (viterbi shift-register structure), no gather.
+    Returns [W, C, k, ...].
+    """
+    w = x.shape[0]
+    rest = x.shape[2:]
+    r = x.reshape((w, nstate_conv // k, k) + rest)
+    return jnp.tile(r, (1, k) + (1,) * (len(rest) + 1))
+
+
+def _step(spec: LVASpec, consts, carry, xs):
+    """One signal block t. carry = (prev_sc, prev_m, stale_sc, stale_m)."""
+    prev_sc, prev_m, stale_sc, stale_m = carry
+    post_t, start, active = xs  # [5,8] f32, scalar int32, scalar bool
+    C = spec.code.nstate_conv
+    W, L, M = spec.window, spec.list_size, spec.n_msg_words
+    postf = post_t.reshape(-1)  # [40]
+
+    start1 = start + 1  # account for the leading ghost row
+    pos_w = start1 + jnp.arange(W)  # padded-position index of window slots
+
+    # --- window slices -----------------------------------------------------
+    def slc(a, s0):
+        return jax.lax.dynamic_slice_in_dim(a, s0, W, axis=0)
+
+    cur_sc_w = slc(stale_sc, start1)  # [W,C,8,L] stale contents (kept when masked)
+    cur_m_w = slc(stale_m, start1)
+    p_sc = slc(prev_sc, start1)  # same-position (stay) sources
+    p_m = slc(prev_m, start1)
+    pm1_sc = slc(prev_sc, start1 - 1)  # previous-position (move) sources
+    pm1_m = slc(prev_m, start1 - 1)
+
+    # --- move candidate sources over the conv axis -------------------------
+    # one-input-bit patterns (pattern 0): prev conv = (2s+b) mod C
+    src1 = _expand_conv_sources(pm1_sc, 2, C)  # [W,C,2,8,L]
+    # two-input-bit patterns (1-3): prev conv = (4s+c) mod C
+    src2 = _expand_conv_sources(pm1_sc, 4, C)  # [W,C,4,8,L]
+    pat_w = consts["pattern_of_pos"][pos_w]  # [W]
+    is1 = (pat_w == 0)[:, None, None, None, None]
+    src = jnp.where(
+        is1,
+        jnp.concatenate([src1, jnp.full_like(src1, NEG_INF)], axis=2),
+        src2)  # [W,C,4,8,L]
+
+    # --- transition scores and validity ------------------------------------
+    stay_tr = postf[consts["stay_idx"]]  # [8]
+    move_tr = postf[consts["move_idx"]]  # [f=8, g=8]
+    # base emitted entering conv state s with dropped bits c (per pattern)
+    bo = consts["base_out"][pat_w]  # [W,C,4]
+    f_ids = jnp.arange(NCRF, dtype=jnp.int32)
+    base_match = bo[:, :, None, :] == (f_ids % 4)[None, None, :, None]  # [W,C,f,c]
+    c_valid = jnp.arange(NC)[None, :] < jnp.where(pat_w == 0, 2, 4)[:, None]
+    mvalid = base_match & c_valid[:, None, None, :]  # [W,C,f,c]
+    mvalid = mvalid & (pos_w > 1)[:, None, None, None]  # no moves into pos 0
+    # full move transition score [W,C,f,c,g]
+    mtr = jnp.where(
+        mvalid[..., None] & consts["crf_mask"][None, None, :, None, :],
+        move_tr[None, None, :, None, :], NEG_INF)
+
+    # --- K-way lazy merge with dedup ---------------------------------------
+    # Predecessor q: 0 = stay; 1 + (c*8 + g) = move via dropped-bits c from
+    # CRF state g. Each exposes a sorted candidate list.
+    def heads(ptr):
+        """Current head score of each predecessor. ptr: [W,C,8,NQ] int32."""
+        pstay = jnp.clip(ptr[..., 0], 0, L - 1)
+        h0 = jnp.take_along_axis(p_sc, pstay[..., None], axis=-1)[..., 0]
+        h0 = jnp.where(ptr[..., 0] < L, h0 + stay_tr[None, None, :], NEG_INF)
+        pmove = ptr[..., 1:].reshape(W, C, NCRF, NC, NCRF)  # [W,C,f,c,g]
+        # gather src[w, s, c, g, ptr]
+        src_f = src[:, :, None]  # [W,C,1,4,8,L] broadcast over f
+        hm = jnp.take_along_axis(
+            jnp.broadcast_to(src_f, (W, C, NCRF, NC, NCRF, L)),
+            jnp.clip(pmove, 0, L - 1)[..., None], axis=-1)[..., 0]
+        hm = jnp.where(pmove < L, hm + mtr, NEG_INF)
+        return jnp.concatenate([h0[..., None], hm.reshape(W, C, NCRF, NQ - 1)],
+                               axis=-1)
+
+    shift2 = jnp.where(pat_w == 0, 1, 2).astype(jnp.uint32)  # [W]
+    nb1 = consts["newbits1"]
+    nb2 = consts["newbits2"]
+    nbits_w = jnp.where((pat_w == 0)[:, None], nb1[None, :], nb2[None, :])  # [W,C]
+
+    def round_body(_, st):
+        ptr, out_sc, out_m, acc = st
+        h = heads(ptr)  # [W,C,8,NQ]
+        qstar = jnp.argmax(h, axis=-1)  # [W,C,8]
+        hstar = jnp.take_along_axis(h, qstar[..., None], axis=-1)[..., 0]
+        ok = hstar > NEG_INF
+
+        is_stay = qstar == 0
+        qm = qstar - 1
+        cstar = qm // NCRF
+        gstar = qm % NCRF
+        ptr_star = jnp.take_along_axis(ptr, qstar[..., None], axis=-1)[..., 0]
+        # winning message: stay -> p_m[w,s,f,ptr]; move -> pm1_m[w,pc,g,ptr]
+        s_ids = jnp.arange(C, dtype=jnp.int32)[None, :, None]
+        k = jnp.where(pat_w == 0, 2, 4).astype(jnp.int32)[:, None, None]
+        pc = (k * s_ids + cstar) & (C - 1)
+        lidx = jnp.clip(ptr_star, 0, L - 1)
+        f_ix = jnp.broadcast_to(f_ids[None, None, :], qstar.shape)
+        move_msg = pm1_m[jnp.arange(W)[:, None, None], pc, gstar, lidx]
+        stay_msg = p_m[jnp.arange(W)[:, None, None], s_ids, f_ix, lidx]
+        raw_msg = jnp.where(is_stay[..., None], stay_msg, move_msg)  # [W,C,8,M]
+        sh = jnp.where(is_stay, 0, shift2[:, None, None]).astype(jnp.uint32)
+        nb = jnp.where(is_stay, 0, nbits_w[:, :, None]).astype(jnp.uint32)
+        cand_msg = _shift_msg(raw_msg, sh, nb)
+
+        # dedup against accepted messages
+        eq = (out_m == cand_msg[..., None, :]).all(-1)  # [W,C,8,L]
+        seen = (eq & (jnp.arange(L)[None, None, None, :] < acc[..., None])).any(-1)
+
+        accept = ok & ~seen & (acc < L)
+        onehot = (jnp.arange(L)[None, None, None, :] == acc[..., None]) & \
+            accept[..., None]
+        out_sc = jnp.where(onehot, hstar[..., None], out_sc)
+        out_m = jnp.where(onehot[..., None], cand_msg[..., None, :], out_m)
+        acc = acc + accept.astype(jnp.int32)
+        ptr = ptr + (jax.nn.one_hot(qstar, NQ, dtype=jnp.int32)
+                     * ok[..., None].astype(jnp.int32))
+        return ptr, out_sc, out_m, acc
+
+    init = (
+        jnp.zeros((W, C, NCRF, NQ), jnp.int32),
+        jnp.full((W, C, NCRF, L), NEG_INF, jnp.float32),
+        jnp.zeros((W, C, NCRF, L, M), jnp.uint32),
+        jnp.zeros((W, C, NCRF), jnp.int32),
+    )
+    _, new_sc, new_m, _ = jax.lax.fori_loop(
+        0, spec.merge_rounds, round_body, init)
+
+    # --- position 0: stay-only, list slot 0 only (cpp:706-713) -------------
+    ispos0 = (pos_w == 1)[:, None, None, None]
+    slot0 = jnp.arange(L)[None, None, None, :] == 0
+    pos0_sc = jnp.where(slot0, p_sc + stay_tr[None, None, :, None], NEG_INF)
+    new_sc = jnp.where(ispos0, pos0_sc, new_sc)
+    new_m = jnp.where(ispos0[..., None], p_m, new_m)
+
+    # --- masked write-back --------------------------------------------------
+    vmask = consts["valid_state"][pos_w]  # [W,C]
+    wmask = (vmask & active)[:, :, None, None]
+    out_sc_w = jnp.where(wmask, new_sc, cur_sc_w)
+    out_m_w = jnp.where(wmask[..., None], new_m, cur_m_w)
+    new_buf_sc = jax.lax.dynamic_update_slice_in_dim(
+        stale_sc, out_sc_w, start1, axis=0)
+    new_buf_m = jax.lax.dynamic_update_slice_in_dim(
+        stale_m, out_m_w, start1, axis=0)
+    return (new_buf_sc, new_buf_m, prev_sc, prev_m), ()
+
+
+def _init_buffers(spec: LVASpec):
+    C, L, M = spec.code.nstate_conv, spec.list_size, spec.n_msg_words
+    P = spec.npos_pad
+    sc = jnp.full((P, C, NCRF, L), NEG_INF, jnp.float32)
+    # pos 0 lives at padded index 1 (index 0 is the ghost row for pos -1)
+    sc = sc.at[1, spec.code.initial_state, :, 0].set(0.0)
+    m = jnp.zeros((P, C, NCRF, L, M), jnp.uint32)
+    other_sc = jnp.full((P, C, NCRF, L), NEG_INF, jnp.float32)
+    return sc, m, other_sc, jnp.zeros_like(m)
+
+
+def _decode_single(spec: LVASpec, consts, post, starts, nblk):
+    """Decode one read. post [T,5,8] f32, starts [T] i32, nblk scalar."""
+    T = post.shape[0]
+    carry = _init_buffers(spec)
+    active = jnp.arange(T) < nblk
+    step = partial(_step, spec, consts)
+    carry, _ = jax.lax.scan(step, carry, (post, starts, active))
+    # the buffer written at the read's last active step t = nblk-1: if the
+    # total step count and nblk have the same parity it is carry[0] else
+    # carry[2] (buffers swap every step, including inactive ones).
+    same = (T - nblk) % 2 == 0
+    fin_sc = jnp.where(same, carry[0], carry[2])
+    fin_m = jnp.where(same, carry[1], carry[3])
+    last_pos = spec.code.nstate_pos - 1 + 1  # +1 ghost offset
+    sc = fin_sc[last_pos, spec.code.final_state]  # [8, L]
+    m = fin_m[last_pos, spec.code.final_state]  # [8, L, M]
+    # collect in (crf, list) order, sort by score desc, truncate to L
+    flat_sc = sc.reshape(-1)
+    flat_m = m.reshape(-1, spec.n_msg_words)
+    order = jnp.argsort(-flat_sc, stable=True)[: spec.list_size]
+    return flat_sc[order], flat_m[order]
+
+
+def _unpack_msgs(spec: LVASpec, msgs: np.ndarray) -> np.ndarray:
+    """uint32 words [.., M] -> message bits [.., msg_len] (MSB-first path).
+
+    Bit i of the decoded message is packed bit (msg_len + mem - 1 - i)
+    (cpp:828-836); under rc the message is additionally reversed (cpp:835).
+    """
+    code = spec.code
+    msg_len, mem = code.config.msg_len, code.mem
+    total = msg_len + mem
+    i = np.arange(msg_len)
+    bitpos = total - 1 - i
+    words = bitpos // 32
+    shifts = bitpos % 32
+    bits = (msgs[..., words] >> shifts) & 1
+    if code.config.rc:
+        bits = bits[..., ::-1]
+    return bits.astype(np.uint8)
+
+
+class LVADecoder:
+    """Jitted batched list-Viterbi decoder for one DecodeConfig."""
+
+    def __init__(self, cfg: DecodeConfig):
+        self.cfg = cfg
+        self.spec, self.tables = LVASpec.build(cfg)
+        consts = _consts(self.spec, self.tables)
+        single = partial(_decode_single, self.spec, consts)
+        self._fn = jax.jit(jax.vmap(single))
+
+    def schedule(self, nblks: np.ndarray, T: int) -> np.ndarray:
+        """Per-read beam schedules [B, T] (host-side, float64 like the C++)."""
+        out = np.zeros((len(nblks), T), dtype=np.int32)
+        for b, n in enumerate(np.asarray(nblks)):
+            s = tb.beam_schedule(self.tables, int(n))
+            out[b, : int(n)] = s
+            out[b, int(n):] = s[-1] if len(s) else 0
+        return out
+
+    def decode(self, posts: np.ndarray, nblks: Optional[np.ndarray] = None):
+        """Decode a batch.
+
+        Args:
+          posts: [B, T, 5, 8] float32 (zero-padded beyond each read's nblk).
+          nblks: [B] actual block counts (default: all T).
+        Returns:
+          (msgs uint8 [B, L, msg_len], scores f32 [B, L], valid bool [B, L])
+        """
+        posts = np.asarray(posts, dtype=np.float32)
+        B, T = posts.shape[:2]
+        if nblks is None:
+            nblks = np.full((B,), T, np.int64)
+        nblks = np.asarray(nblks)
+        if (nblks < self.spec.code.nstate_pos + 1).any():
+            raise ValueError("post matrix shorter than nstate_pos+1 blocks "
+                             "(cpp:600-601)")
+        starts = self.schedule(nblks, T)
+        sc, m = self._fn(jnp.asarray(posts), jnp.asarray(starts),
+                         jnp.asarray(nblks, dtype=jnp.int32))
+        sc = np.asarray(sc)
+        m = np.asarray(m)
+        valid = sc > -np.inf
+        return _unpack_msgs(self.spec, m), sc, valid
