@@ -1,0 +1,149 @@
+#!/usr/bin/env python3
+"""Benchmark: reads/s list-Viterbi-decoded on TPU vs single-core reference C++.
+
+Headline config (BASELINE.json): m=11, r=5/6, msg_len=180, list_size=8,
+max_deviation=20 — the production decode of generate_decoded_lists.py.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+
+vs_baseline = (TPU reads/s) / (single-core C++ reads/s). The C++ rate is
+measured locally if the reference binary can be built (cached in
+.bench_baseline.json), since the reference publishes no throughput numbers
+(BASELINE.md).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import tempfile
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent
+BASELINE_CACHE = REPO / ".bench_baseline.json"
+REF_SRC = "/root/reference/viterbi/viterbi_convolutional_code.cpp"
+
+
+def build_ref_binary() -> str | None:
+    out = "/tmp/refbin/viterbi_nanopore.out"
+    if os.path.exists(out):
+        return out
+    if not os.path.exists(REF_SRC):
+        return None
+    os.makedirs("/tmp/refbin", exist_ok=True)
+    r = subprocess.run(
+        ["g++", REF_SRC, "-std=c++11", "-o", out, "-I",
+         os.path.dirname(REF_SRC), "-fopenmp", "-O3", "-march=native"],
+        capture_output=True)
+    return out if r.returncode == 0 else None
+
+
+def gen_posts(cfg, n_reads: int, seed: int):
+    from nanopore_dna_storage_tpu.coding.conv import (
+        make_conv_code, conv_encode_bases)
+    from nanopore_dna_storage_tpu.ops.synthetic import synthetic_post
+
+    rng = np.random.default_rng(seed)
+    code = make_conv_code(cfg)
+    msgs = rng.integers(0, 2, (n_reads, cfg.msg_len), dtype=np.uint8)
+    bases = conv_encode_bases(code, msgs)
+    posts = [synthetic_post(b, rng, noise=1.0) for b in bases]
+    return posts, msgs
+
+
+def measure_cpp(binary: str, posts, cfg, list_size: int, dev: int,
+                max_reads: int = 3) -> float:
+    """Single-core C++ seconds per read."""
+    td = pathlib.Path(tempfile.mkdtemp())
+    times = []
+    for i, post in enumerate(posts[:max_reads]):
+        pf = td / f"{i}.post"
+        post.astype("<f4").tofile(pf)
+        t0 = time.perf_counter()
+        subprocess.run(
+            [binary, "-m", "decode", "-i", str(pf), "-o", str(td / "out"),
+             "--mem-conv", str(cfg.mem), "--msg-len", str(cfg.msg_len),
+             "-l", str(list_size), "-r", str(cfg.rate), "-t", "1",
+             "--max-deviation", str(dev)],
+            check=True, capture_output=True)
+        times.append(time.perf_counter() - t0)
+    return float(np.mean(times))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny m=6 config for CI")
+    ap.add_argument("--batch", type=int, default=0)
+    ap.add_argument("--reads", type=int, default=0)
+    ap.add_argument("--skip-cpp", action="store_true")
+    args = ap.parse_args()
+
+    from nanopore_dna_storage_tpu.config import ConvCodeConfig, DecodeConfig
+    from nanopore_dna_storage_tpu.ops.lva import LVADecoder
+    from nanopore_dna_storage_tpu.io.post import pack_posts
+
+    if args.smoke:
+        cfg = ConvCodeConfig(mem=6, rate=1, msg_len=100)
+        list_size, dev = 4, 16
+        batch = args.batch or 8
+        n_reads = args.reads or 16
+        metric = "reads_per_s_m6_r1_l4_smoke"
+    else:
+        cfg = ConvCodeConfig(mem=11, rate=5, msg_len=180)
+        list_size, dev = 8, 20
+        batch = args.batch or 8
+        n_reads = args.reads or 32
+        metric = "reads_per_s_m11_r5l6_l8"
+
+    posts, _ = gen_posts(cfg, n_reads, seed=42)
+    dec = LVADecoder(DecodeConfig(code=cfg, list_size=list_size,
+                                  max_deviation=dev))
+    packed, nblks = pack_posts(posts)
+
+    # warmup/compile on first batch
+    b0 = packed[:batch]
+    dec.decode(b0, nblks[:batch])
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_reads:
+        sel = slice(done, min(done + batch, n_reads))
+        nsel = sel.stop - sel.start
+        if nsel < batch:  # keep a fixed compiled shape
+            idx = list(range(sel.start, sel.stop))
+            idx += [0] * (batch - nsel)
+            dec.decode(packed[idx], nblks[idx])
+        else:
+            dec.decode(packed[sel], nblks[sel])
+        done += nsel
+    dt = time.perf_counter() - t0
+    tpu_rps = n_reads / dt
+
+    key = f"{metric}_cpp"
+    baseline = {}
+    if BASELINE_CACHE.exists():
+        baseline = json.loads(BASELINE_CACHE.read_text())
+    if key not in baseline and not args.skip_cpp:
+        binary = build_ref_binary()
+        if binary:
+            spr = measure_cpp(binary, posts, cfg, list_size, dev)
+            baseline[key] = 1.0 / spr
+            BASELINE_CACHE.write_text(json.dumps(baseline))
+    cpp_rps = baseline.get(key)
+    vs = tpu_rps / cpp_rps if cpp_rps else None
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(tpu_rps, 3),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Hermetic squiggle synthesis: base sequence -> raw nanopore-like signal.
+
+The reference calls scrappie's neural squiggle model plus DeepSimulator dwell
+resampling and per-dwell Laplace noise (helper.py:123-143, rep_rvs:67-83).
+scrappie is an external C dependency with baked-in weights; to keep the
+simulator hermetic we use a deterministic 6-mer pore model (hash-derived
+current levels with realistic spread) while reproducing the reference's dwell
+and noise structure exactly:
+
+* dwell times from the DeepSimulator alpha distribution with the same
+  parameters and alpha-offset transform (helper.py:67-83),
+* per-dwell Laplace noise with scale stdv/sqrt(2) (helper.py:136-140).
+
+The simulated accuracy regime therefore mirrors the reference's
+deepSimDwell=True setting; absolute current levels differ from scrappie's
+(those weights are not redistributable), which only matters when pairing with
+a basecaller trained on real data.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import numpy as np
+import scipy.stats as st
+
+KMER = 6
+# DeepSimulator alpha-stable dwell parameters (helper.py:77-79)
+_ALPHA_A = 3.3928495261646932
+_ALPHA_LOC = -7.6451557771999035
+_ALPHA_SCALE = 50.873948369526737
+
+
+@lru_cache(maxsize=1)
+def pore_model() -> Tuple[np.ndarray, np.ndarray]:
+    """(mean, stdv) per 6-mer, deterministic.
+
+    A splitmix-style integer hash spreads the 4096 k-mers over plausible
+    normalized current levels (mean ~ N(0,1)-ish range, stdv 0.05..0.25).
+    """
+    idx = np.arange(4 ** KMER, dtype=np.uint64)
+    z = (idx + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    u1 = (z & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
+    u2 = (z >> np.uint64(32)).astype(np.float64) / 2**32
+    mean = 2.4 * (u1 - 0.5) * 2.0  # in [-2.4, 2.4]
+    stdv = 0.05 + 0.20 * u2
+    return mean.astype(np.float32), stdv.astype(np.float32)
+
+
+def deepsim_dwells(n: int, rng: np.random.Generator,
+                   alpha: float = 0.1) -> np.ndarray:
+    """DeepSimulator dwell sampler (helper.rep_rvs, helper.py:67-83)."""
+    a = alpha * 5
+    n_ones = int(n * (0.075 - 0.015 * a))
+    ones = np.ones(n_ones, dtype=np.int64)
+    samples = st.alpha.rvs(_ALPHA_A + a, _ALPHA_LOC + 2 * a, _ALPHA_SCALE,
+                           size=n - n_ones,
+                           random_state=rng).astype(np.int64)
+    samples = np.concatenate([samples, ones])
+    samples[samples < 1] = 2
+    rng.shuffle(samples)
+    return samples
+
+
+def sequence_to_squiggle(bases: np.ndarray) -> np.ndarray:
+    """bases [n] -> [n, 3] rows (dwell, mean, stdv) like scrappy's output."""
+    bases = np.asarray(bases, dtype=np.int64)
+    n = len(bases)
+    mean, stdv = pore_model()
+    # centered 6-mer context with edge clamping
+    pad = np.concatenate([np.repeat(bases[:1], KMER // 2), bases,
+                          np.repeat(bases[-1:], KMER - 1 - KMER // 2)])
+    idx = np.zeros(n, dtype=np.int64)
+    for k in range(KMER):
+        idx = idx * 4 + pad[k: k + n]
+    out = np.empty((n, 3), dtype=np.float32)
+    out[:, 0] = 9.0  # nominal dwell, replaced by deepsim sampling
+    out[:, 1] = mean[idx]
+    out[:, 2] = stdv[idx]
+    return out
+
+
+def squiggle_to_raw(squiggle: np.ndarray, rng: np.random.Generator,
+                    deepsim_dwell: bool = True,
+                    deepsim_alpha: float = 0.1) -> np.ndarray:
+    """Expand (dwell, mean, stdv) rows to a noisy raw signal
+    (helper.py:130-140)."""
+    sq = np.asarray(squiggle, dtype=np.float64).copy()
+    if deepsim_dwell:
+        sq[:, 0] = deepsim_dwells(sq.shape[0], rng, deepsim_alpha)
+    dwells = np.maximum(np.round(sq[:, 0]).astype(np.int64), 0)
+    means = np.repeat(sq[:, 1], dwells)
+    stdvs = np.repeat(sq[:, 2], dwells)
+    return rng.laplace(means, stdvs / np.sqrt(2)).astype(np.float32)
+
+
+def simulate_raw_signal(bases: np.ndarray, rng: np.random.Generator,
+                        deepsim_dwell: bool = True,
+                        deepsim_alpha: float = 0.1) -> np.ndarray:
+    return squiggle_to_raw(sequence_to_squiggle(bases), rng,
+                           deepsim_dwell, deepsim_alpha)
