@@ -59,6 +59,15 @@ class DecodeConfig:
     # Use exact 32-bit-word message comparison for dedup (slow, test mode)
     # instead of 2x32-bit incremental hashes.
     exact_dedup: bool = False
+    # How duplicate-message paths merge: "max" keeps the better score (the
+    # production binary, viterbi_convolutional_code.cpp:231-236); "logsumexp"
+    # accumulates path probability mass (the older binary's --use-logsumexp,
+    # extra/viterbi_nanopore.cpp:118,883-888).
+    path_combine: str = "max"
+
+    def __post_init__(self):
+        if self.path_combine not in ("max", "logsumexp"):
+            raise ValueError("path_combine must be 'max' or 'logsumexp'")
 
     @property
     def merge_rounds_(self) -> int:

@@ -56,6 +56,7 @@ class LVASpec:
     window: int
     npos_pad: int  # includes 1 leading ghost row for position -1
     n_msg_words: int
+    combine_lse: bool = False  # logsumexp duplicate-path combining
 
     @classmethod
     def build(cls, cfg: DecodeConfig) -> Tuple["LVASpec", tb.TrellisTables]:
@@ -70,6 +71,7 @@ class LVASpec:
             window=tabs.window,
             npos_pad=tabs.npos_pad + 1,
             n_msg_words=msg_words(code),
+            combine_lse=cfg.path_combine == "logsumexp",
         ), tabs
 
 
@@ -221,7 +223,14 @@ def _step(spec: LVASpec, consts, carry, xs):
 
         # dedup against accepted messages
         eq = (out_m == cand_msg[..., None, :]).all(-1)  # [W,C,8,L]
-        seen = (eq & (jnp.arange(L)[None, None, None, :] < acc[..., None])).any(-1)
+        eq = eq & (jnp.arange(L)[None, None, None, :] < acc[..., None])
+        seen = eq.any(-1)
+        if spec.combine_lse:
+            # accumulate duplicate-path probability mass into the accepted
+            # slot instead of discarding (extra/viterbi_nanopore.cpp:883-888)
+            out_sc = jnp.where(eq & ok[..., None],
+                               jnp.logaddexp(out_sc, hstar[..., None]),
+                               out_sc)
 
         accept = ok & ~seen & (acc < L)
         onehot = (jnp.arange(L)[None, None, None, :] == acc[..., None]) & \
