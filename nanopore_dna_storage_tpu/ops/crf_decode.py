@@ -18,14 +18,20 @@ NBASE = 4
 NSTATE = 8
 
 
-def viterbi_flipflop(post: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def viterbi_flipflop(post: jnp.ndarray, nblk=None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """post: [T, 5, 8] log scores -> (path [T+1] int32, score).
 
     path[0] is the start state (zero-init scores, decode.c:130-142).
+    nblk: optional valid-block count for padded inputs; beyond it the scan
+    carries state through unchanged (identity backpointers), so the traceback
+    and final argmax reflect block nblk exactly.
     """
     T = post.shape[0]
+    active = (jnp.arange(T) < nblk) if nblk is not None else jnp.ones(T, bool)
 
-    def fstep(prev, t):
+    def fstep(prev, xs):
+        t, act = xs
         # moves into flip b1 from any state
         cand_flip = t[:NBASE] + prev[None, :]  # [4, 8]
         flip_bp = jnp.argmax(cand_flip, axis=1).astype(jnp.int32)
@@ -40,10 +46,13 @@ def viterbi_flipflop(post: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
                             jnp.arange(NBASE, dtype=jnp.int32) + NBASE)
         new = jnp.concatenate([flip, flop])
         bp = jnp.concatenate([flip_bp, flop_bp])
+        ident = jnp.arange(NSTATE, dtype=jnp.int32)
+        new = jnp.where(act, new, prev)
+        bp = jnp.where(act, bp, ident)
         return new, bp
 
     init = jnp.zeros((NSTATE,), post.dtype)
-    final, bps = jax.lax.scan(fstep, init, post)  # bps: [T, 8]
+    final, bps = jax.lax.scan(fstep, init, (post, active))  # bps [T,8]
     last = jnp.argmax(final).astype(jnp.int32)
     score = final[last]
 
@@ -56,8 +65,10 @@ def viterbi_flipflop(post: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return path, score
 
 
-def viterbi_flipflop_batch(posts: jnp.ndarray):
-    return jax.vmap(viterbi_flipflop)(posts)
+def viterbi_flipflop_batch(posts: jnp.ndarray, nblk=None):
+    if nblk is None:
+        return jax.vmap(viterbi_flipflop)(posts)
+    return jax.vmap(viterbi_flipflop)(posts, nblk)
 
 
 def basecall_from_path(path: np.ndarray, nblk: int

@@ -106,3 +106,19 @@ def test_squiggle_sim_runs():
     rng = np.random.default_rng(5)
     raw = simulate_raw_signal(rng.integers(0, 4, 50).astype(np.uint8), rng)
     assert raw.ndim == 1 and len(raw) > 100
+
+
+def test_weights_header_roundtrip(tmp_path):
+    from nanopore_dna_storage_tpu.models import weights as wmod
+
+    cfg = small_cfg()
+    params = {k: np.asarray(v) for k, v in ff.init_params(cfg, 7).items()}
+    path = tmp_path / "model.h"
+    wmod.write_model_header(str(path), params, stride=cfg.stride)
+    loaded, stride = wmod.params_from_header(str(path))
+    assert stride == cfg.stride
+    for k, v in params.items():
+        got = loaded[k]
+        if k == "conv_w":
+            got = got.reshape(v.shape)
+        np.testing.assert_allclose(got, v, rtol=0, atol=0)
