@@ -64,10 +64,16 @@ class DecodeConfig:
     # accumulates path probability mass (the older binary's --use-logsumexp,
     # extra/viterbi_nanopore.cpp:118,883-888).
     path_combine: str = "max"
+    # ACS inner-loop backend: "xla" (pure jnp) or "pallas" (fused VMEM
+    # kernel); "pallas_interpret" runs the kernel in interpreter mode (CPU
+    # testing).
+    backend: str = "xla"
 
     def __post_init__(self):
         if self.path_combine not in ("max", "logsumexp"):
             raise ValueError("path_combine must be 'max' or 'logsumexp'")
+        if self.backend not in ("xla", "pallas", "pallas_interpret"):
+            raise ValueError("backend must be xla|pallas|pallas_interpret")
 
     @property
     def merge_rounds_(self) -> int:

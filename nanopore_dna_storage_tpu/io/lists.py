@@ -49,6 +49,28 @@ def decoded_indices(outdir: str) -> List[int]:
     return sorted(out)
 
 
+def merge_shards(shard_dirs: Sequence[str], outdir: str) -> int:
+    """Merge per-shard list_*/info outputs into one directory with
+    sequential indices (util/extra/merge_lists.py:11-21). Returns count."""
+    out = pathlib.Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    info_lines: List[str] = []
+    n = 0
+    for shard in shard_dirs:
+        ids = decoded_indices(shard)
+        info_path = pathlib.Path(shard) / "info.txt"
+        shard_info = (info_path.read_text().splitlines()
+                      if info_path.exists() else [])
+        for i in ids:
+            msgs = read_list_file(shard, i)
+            write_list_file(str(out), n, msgs)
+            if i < len(shard_info):
+                info_lines.append(shard_info[i])
+            n += 1
+    write_info(str(out), info_lines)
+    return n
+
+
 class ShardManifest:
     """Append-only per-shard progress record (jsonl), the TPU-side
     equivalent of the reference's file-per-read resume granularity."""

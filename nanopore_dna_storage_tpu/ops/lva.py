@@ -9,16 +9,21 @@ Faithful TPU-native reformulation of ``decode_post_conv_parallel_LVA``
   fixed-round K-way merge: each of the Q = 1 + 4*8 predecessors (stay plus
   (conv-candidate, CRF-predecessor) pairs) exposes a sorted candidate list
   (its predecessor's sorted L-list plus a transition score); each round takes
-  the global head via argmax, rejects messages already accepted (exact
-  multi-word compare), and advances that predecessor's pointer. With
-  merge_rounds >= Q*L this is exhaustive (exact reference semantics); the
-  production default 2L+2 is validated against golden lists.
-* Messages are carried as packed uint32 words per (state, list-slot), like the
-  reference's 256-bit bitsets (cpp:28-29,607-620) — no traceback.
+  the global head via argmax, rejects messages already accepted, and advances
+  that predecessor's pointer. With merge_rounds >= Q*L this is exhaustive
+  (exact reference heap semantics); the production default 2L+2 is validated
+  list-for-list against the reference binary on golden cases.
+* Duplicate detection uses two independent modular hashes of the message
+  value (h = msg mod p, p < 2^30 prime), updated incrementally per appended
+  bits — so the merge rounds touch 3 words per (state, slot) instead of the
+  full packed message. Collision probability over a full read is < 1e-7.
+  Messages themselves are materialized once per block from the winning
+  (predecessor, list-slot) selections and carried as packed uint32 words,
+  like the reference's 256-bit bitsets (cpp:28-29,607-620) — no traceback.
 * The beam (max-deviation window, cpp:673-687) is a dynamic slice over the
-  position axis; out-of-window states keep stale values in the inactive buffer
-  exactly like the reference's swapped double buffers, which matters for
-  bit-parity at the trailing edge of the beam.
+  position axis; out-of-window states keep stale values in the inactive
+  buffer exactly like the reference's swapped double buffers, which matters
+  for bit-parity at the trailing edge of the beam.
 * Conv-state predecessor gathers use the shift-register structure
   (prev = (k*s + c) mod 2^m  <=>  reshape+tile), not per-state index tables.
 """
@@ -41,6 +46,11 @@ NCRF = NSTATE_CRF  # 8
 NC = 4  # conv-candidate slots (2 used by pattern 0)
 NQ = 1 + NC * NCRF  # predecessors per state: stay + (c, g)
 
+# dual modular-hash dedup primes (largest primes < 2^30 so that
+# (h << 2) + 3 stays within uint32)
+HASH_P1 = np.uint32(1073741789)
+HASH_P2 = np.uint32(1073741783)
+
 
 def msg_words(code: ConvCode) -> int:
     return -(-(code.config.msg_len + code.mem) // 32)
@@ -57,6 +67,7 @@ class LVASpec:
     npos_pad: int  # includes 1 leading ghost row for position -1
     n_msg_words: int
     combine_lse: bool = False  # logsumexp duplicate-path combining
+    backend: str = "xla"
 
     @classmethod
     def build(cls, cfg: DecodeConfig) -> Tuple["LVASpec", tb.TrellisTables]:
@@ -72,6 +83,7 @@ class LVASpec:
             npos_pad=tabs.npos_pad + 1,
             n_msg_words=msg_words(code),
             combine_lse=cfg.path_combine == "logsumexp",
+            backend=cfg.backend,
         ), tabs
 
 
@@ -111,6 +123,16 @@ def _shift_msg(msg: jnp.ndarray, shift: jnp.ndarray,
     return jnp.concatenate([first[..., None], out[..., 1:]], axis=-1)
 
 
+def _hash_update(h: jnp.ndarray, shift: jnp.ndarray, newbits: jnp.ndarray,
+                 p: np.uint32) -> jnp.ndarray:
+    """h' = (h * 2^shift + newbits) mod p for h < p, shift in {0,1,2}."""
+    t = (h << shift.astype(jnp.uint32)) + newbits.astype(jnp.uint32)
+    t = jnp.where(t >= p, t - p, t)
+    t = jnp.where(t >= p, t - p, t)
+    t = jnp.where(t >= p, t - p, t)
+    return t
+
+
 def _expand_conv_sources(x: jnp.ndarray, k: int, nstate_conv: int) -> jnp.ndarray:
     """Predecessor view over the conv axis (axis 1 of [W, C, ...]).
 
@@ -125,8 +147,13 @@ def _expand_conv_sources(x: jnp.ndarray, k: int, nstate_conv: int) -> jnp.ndarra
 
 
 def _step(spec: LVASpec, consts, carry, xs):
-    """One signal block t. carry = (prev_sc, prev_m, stale_sc, stale_m)."""
-    prev_sc, prev_m, stale_sc, stale_m = carry
+    """One signal block t.
+
+    carry = (prev_sc, prev_h1, prev_h2, prev_m, stale_sc, stale_h1,
+             stale_h2, stale_m).
+    """
+    (prev_sc, prev_h1, prev_h2, prev_m,
+     stale_sc, stale_h1, stale_h2, stale_m) = carry
     post_t, start, active = xs  # [5,8] f32, scalar int32, scalar bool
     C = spec.code.nstate_conv
     W, L, M = spec.window, spec.list_size, spec.n_msg_words
@@ -139,17 +166,15 @@ def _step(spec: LVASpec, consts, carry, xs):
     def slc(a, s0):
         return jax.lax.dynamic_slice_in_dim(a, s0, W, axis=0)
 
-    cur_sc_w = slc(stale_sc, start1)  # [W,C,8,L] stale contents (kept when masked)
-    cur_m_w = slc(stale_m, start1)
-    p_sc = slc(prev_sc, start1)  # same-position (stay) sources
-    p_m = slc(prev_m, start1)
+    p_sc = slc(prev_sc, start1)  # same-position (stay) sources [W,C,8,L]
+    p_h1 = slc(prev_h1, start1)
+    p_h2 = slc(prev_h2, start1)
     pm1_sc = slc(prev_sc, start1 - 1)  # previous-position (move) sources
-    pm1_m = slc(prev_m, start1 - 1)
+    pm1_h1 = slc(prev_h1, start1 - 1)
+    pm1_h2 = slc(prev_h2, start1 - 1)
 
-    # --- move candidate sources over the conv axis -------------------------
-    # one-input-bit patterns (pattern 0): prev conv = (2s+b) mod C
+    # --- move candidate score sources over the conv axis --------------------
     src1 = _expand_conv_sources(pm1_sc, 2, C)  # [W,C,2,8,L]
-    # two-input-bit patterns (1-3): prev conv = (4s+c) mod C
     src2 = _expand_conv_sources(pm1_sc, 4, C)  # [W,C,4,8,L]
     pat_w = consts["pattern_of_pos"][pos_w]  # [W]
     is1 = (pat_w == 0)[:, None, None, None, None]
@@ -161,28 +186,23 @@ def _step(spec: LVASpec, consts, carry, xs):
     # --- transition scores and validity ------------------------------------
     stay_tr = postf[consts["stay_idx"]]  # [8]
     move_tr = postf[consts["move_idx"]]  # [f=8, g=8]
-    # base emitted entering conv state s with dropped bits c (per pattern)
     bo = consts["base_out"][pat_w]  # [W,C,4]
     f_ids = jnp.arange(NCRF, dtype=jnp.int32)
-    base_match = bo[:, :, None, :] == (f_ids % 4)[None, None, :, None]  # [W,C,f,c]
+    base_match = bo[:, :, None, :] == (f_ids % 4)[None, None, :, None]
     c_valid = jnp.arange(NC)[None, :] < jnp.where(pat_w == 0, 2, 4)[:, None]
     mvalid = base_match & c_valid[:, None, None, :]  # [W,C,f,c]
     mvalid = mvalid & (pos_w > 1)[:, None, None, None]  # no moves into pos 0
-    # full move transition score [W,C,f,c,g]
     mtr = jnp.where(
         mvalid[..., None] & consts["crf_mask"][None, None, :, None, :],
-        move_tr[None, None, :, None, :], NEG_INF)
+        move_tr[None, None, :, None, :], NEG_INF)  # [W,C,f,c,g]
 
-    # --- K-way lazy merge with dedup ---------------------------------------
-    # Predecessor q: 0 = stay; 1 + (c*8 + g) = move via dropped-bits c from
-    # CRF state g. Each exposes a sorted candidate list.
+    # --- K-way lazy merge with hash dedup -----------------------------------
     def heads(ptr):
         """Current head score of each predecessor. ptr: [W,C,8,NQ] int32."""
         pstay = jnp.clip(ptr[..., 0], 0, L - 1)
         h0 = jnp.take_along_axis(p_sc, pstay[..., None], axis=-1)[..., 0]
         h0 = jnp.where(ptr[..., 0] < L, h0 + stay_tr[None, None, :], NEG_INF)
         pmove = ptr[..., 1:].reshape(W, C, NCRF, NC, NCRF)  # [W,C,f,c,g]
-        # gather src[w, s, c, g, ptr]
         src_f = src[:, :, None]  # [W,C,1,4,8,L] broadcast over f
         hm = jnp.take_along_axis(
             jnp.broadcast_to(src_f, (W, C, NCRF, NC, NCRF, L)),
@@ -192,12 +212,15 @@ def _step(spec: LVASpec, consts, carry, xs):
                                axis=-1)
 
     shift2 = jnp.where(pat_w == 0, 1, 2).astype(jnp.uint32)  # [W]
-    nb1 = consts["newbits1"]
-    nb2 = consts["newbits2"]
-    nbits_w = jnp.where((pat_w == 0)[:, None], nb1[None, :], nb2[None, :])  # [W,C]
+    nbits_w = jnp.where((pat_w == 0)[:, None], consts["newbits1"][None, :],
+                        consts["newbits2"][None, :])  # [W,C]
+    w_ix = jnp.arange(W)[:, None, None]
+    s_ids = jnp.arange(C, dtype=jnp.int32)[None, :, None]
+    f_ix = jnp.broadcast_to(f_ids[None, None, :], (W, C, NCRF))
+    kk = jnp.where(pat_w == 0, 2, 4).astype(jnp.int32)[:, None, None]
 
     def round_body(_, st):
-        ptr, out_sc, out_m, acc = st
+        ptr, out_sc, out_h1, out_h2, out_q, out_lp, acc = st
         h = heads(ptr)  # [W,C,8,NQ]
         qstar = jnp.argmax(h, axis=-1)  # [W,C,8]
         hstar = jnp.take_along_axis(h, qstar[..., None], axis=-1)[..., 0]
@@ -208,21 +231,22 @@ def _step(spec: LVASpec, consts, carry, xs):
         cstar = qm // NCRF
         gstar = qm % NCRF
         ptr_star = jnp.take_along_axis(ptr, qstar[..., None], axis=-1)[..., 0]
-        # winning message: stay -> p_m[w,s,f,ptr]; move -> pm1_m[w,pc,g,ptr]
-        s_ids = jnp.arange(C, dtype=jnp.int32)[None, :, None]
-        k = jnp.where(pat_w == 0, 2, 4).astype(jnp.int32)[:, None, None]
-        pc = (k * s_ids + cstar) & (C - 1)
+        pc = (kk * s_ids + cstar) & (C - 1)
         lidx = jnp.clip(ptr_star, 0, L - 1)
-        f_ix = jnp.broadcast_to(f_ids[None, None, :], qstar.shape)
-        move_msg = pm1_m[jnp.arange(W)[:, None, None], pc, gstar, lidx]
-        stay_msg = p_m[jnp.arange(W)[:, None, None], s_ids, f_ix, lidx]
-        raw_msg = jnp.where(is_stay[..., None], stay_msg, move_msg)  # [W,C,8,M]
+        # winner's source hashes
+        sh1 = jnp.where(is_stay,
+                        p_h1[w_ix, s_ids, f_ix, lidx],
+                        pm1_h1[w_ix, pc, gstar, lidx])
+        sh2 = jnp.where(is_stay,
+                        p_h2[w_ix, s_ids, f_ix, lidx],
+                        pm1_h2[w_ix, pc, gstar, lidx])
         sh = jnp.where(is_stay, 0, shift2[:, None, None]).astype(jnp.uint32)
         nb = jnp.where(is_stay, 0, nbits_w[:, :, None]).astype(jnp.uint32)
-        cand_msg = _shift_msg(raw_msg, sh, nb)
+        ch1 = _hash_update(sh1, sh, nb, HASH_P1)
+        ch2 = _hash_update(sh2, sh, nb, HASH_P2)
 
-        # dedup against accepted messages
-        eq = (out_m == cand_msg[..., None, :]).all(-1)  # [W,C,8,L]
+        # dedup against accepted candidates
+        eq = (out_h1 == ch1[..., None]) & (out_h2 == ch2[..., None])
         eq = eq & (jnp.arange(L)[None, None, None, :] < acc[..., None])
         seen = eq.any(-1)
         if spec.combine_lse:
@@ -236,38 +260,122 @@ def _step(spec: LVASpec, consts, carry, xs):
         onehot = (jnp.arange(L)[None, None, None, :] == acc[..., None]) & \
             accept[..., None]
         out_sc = jnp.where(onehot, hstar[..., None], out_sc)
-        out_m = jnp.where(onehot[..., None], cand_msg[..., None, :], out_m)
+        out_h1 = jnp.where(onehot, ch1[..., None], out_h1)
+        out_h2 = jnp.where(onehot, ch2[..., None], out_h2)
+        out_q = jnp.where(onehot, qstar[..., None], out_q)
+        out_lp = jnp.where(onehot, lidx[..., None], out_lp)
         acc = acc + accept.astype(jnp.int32)
         ptr = ptr + (jax.nn.one_hot(qstar, NQ, dtype=jnp.int32)
                      * ok[..., None].astype(jnp.int32))
-        return ptr, out_sc, out_m, acc
+        return ptr, out_sc, out_h1, out_h2, out_q, out_lp, acc
 
     init = (
         jnp.zeros((W, C, NCRF, NQ), jnp.int32),
         jnp.full((W, C, NCRF, L), NEG_INF, jnp.float32),
-        jnp.zeros((W, C, NCRF, L, M), jnp.uint32),
+        jnp.zeros((W, C, NCRF, L), jnp.uint32),
+        jnp.zeros((W, C, NCRF, L), jnp.uint32),
+        jnp.zeros((W, C, NCRF, L), jnp.int32),
+        jnp.zeros((W, C, NCRF, L), jnp.int32),
         jnp.zeros((W, C, NCRF), jnp.int32),
     )
-    _, new_sc, new_m, _ = jax.lax.fori_loop(
+    (_, new_sc, new_h1, new_h2, out_q, out_lp, _) = jax.lax.fori_loop(
         0, spec.merge_rounds, round_body, init)
+
+    # --- materialize messages from the winning selections -------------------
+    p_m = slc(prev_m, start1)
+    pm1_m = slc(prev_m, start1 - 1)
+    is_stay_l = out_q == 0  # [W,C,8,L]
+    qm = out_q - 1
+    c_l = qm // NCRF
+    g_l = qm % NCRF
+    pc_l = (kk[..., None] * s_ids[..., None] + c_l) & (C - 1)
+    lp = jnp.clip(out_lp, 0, L - 1)
+    stay_m = p_m[w_ix[..., None], s_ids[..., None], f_ix[..., None], lp]
+    move_m = pm1_m[w_ix[..., None], pc_l, g_l, lp]
+    raw_m = jnp.where(is_stay_l[..., None], stay_m, move_m)  # [W,C,8,L,M]
+    sh_l = jnp.where(is_stay_l, 0,
+                     shift2[:, None, None, None]).astype(jnp.uint32)
+    nb_l = jnp.where(is_stay_l, 0,
+                     nbits_w[:, :, None, None]).astype(jnp.uint32)
+    new_m = _shift_msg(raw_m, sh_l, nb_l)
 
     # --- position 0: stay-only, list slot 0 only (cpp:706-713) -------------
     ispos0 = (pos_w == 1)[:, None, None, None]
     slot0 = jnp.arange(L)[None, None, None, :] == 0
     pos0_sc = jnp.where(slot0, p_sc + stay_tr[None, None, :, None], NEG_INF)
     new_sc = jnp.where(ispos0, pos0_sc, new_sc)
+    new_h1 = jnp.where(ispos0, p_h1, new_h1)
+    new_h2 = jnp.where(ispos0, p_h2, new_h2)
     new_m = jnp.where(ispos0[..., None], p_m, new_m)
 
     # --- masked write-back --------------------------------------------------
     vmask = consts["valid_state"][pos_w]  # [W,C]
     wmask = (vmask & active)[:, :, None, None]
-    out_sc_w = jnp.where(wmask, new_sc, cur_sc_w)
-    out_m_w = jnp.where(wmask[..., None], new_m, cur_m_w)
-    new_buf_sc = jax.lax.dynamic_update_slice_in_dim(
-        stale_sc, out_sc_w, start1, axis=0)
-    new_buf_m = jax.lax.dynamic_update_slice_in_dim(
-        stale_m, out_m_w, start1, axis=0)
-    return (new_buf_sc, new_buf_m, prev_sc, prev_m), ()
+
+    def put(buf, new, extra_dim=False):
+        cur = slc(buf, start1)
+        m = wmask[..., None] if extra_dim else wmask
+        return jax.lax.dynamic_update_slice_in_dim(
+            buf, jnp.where(m, new, cur), start1, axis=0)
+
+    return (put(stale_sc, new_sc), put(stale_h1, new_h1),
+            put(stale_h2, new_h2), put(stale_m, new_m, True),
+            prev_sc, prev_h1, prev_h2, prev_m), ()
+
+
+def _step_pallas(spec: LVASpec, consts, carry, xs):
+    """One block step with the fused Pallas ACS kernel (phase 1) and XLA
+    message materialization (phase 2)."""
+    from .lva_pallas import acs_step
+
+    (prev_sc, prev_h1, prev_h2, prev_m,
+     stale_sc, stale_h1, stale_h2, stale_m) = carry
+    post_t, start, active = xs
+    C = spec.code.nstate_conv
+    W, L, M = spec.window, spec.list_size, spec.n_msg_words
+    start1 = start + 1
+    new_sc, new_h1, new_h2, sel = acs_step(
+        spec, consts, prev_sc, prev_h1, prev_h2,
+        stale_sc, stale_h1, stale_h2, post_t.reshape(-1), start1, active,
+        interpret=spec.backend == "pallas_interpret")
+
+    # ---- phase 2: materialize messages from selections ---------------------
+    pos_w = start1 + jnp.arange(W)
+    pat_w = consts["pattern_of_pos"][pos_w]
+    shift2 = jnp.where(pat_w == 0, 1, 2).astype(jnp.uint32)
+    nbits_w = jnp.where((pat_w == 0)[:, None], consts["newbits1"][None, :],
+                        consts["newbits2"][None, :])
+
+    def slc(a, s0):
+        return jax.lax.dynamic_slice_in_dim(a, s0, W, axis=0)
+
+    p_m = slc(prev_m, start1)
+    pm1_m = slc(prev_m, start1 - 1)
+    cur_m_w = slc(stale_m, start1)
+    filled = sel >= 0  # [W,C,8,L]
+    q = jnp.clip(sel // 16, 0, NQ - 1)
+    lp = jnp.clip(sel % 16, 0, L - 1)
+    is_stay_l = q == 0
+    c_l = jnp.clip((q - 1) // NCRF, 0, NC - 1)
+    g_l = jnp.clip((q - 1) % NCRF, 0, NCRF - 1)
+    w_ix = jnp.arange(W)[:, None, None, None]
+    s_ids4 = jnp.arange(C, dtype=jnp.int32)[None, :, None, None]
+    f_ix4 = jnp.arange(NCRF, dtype=jnp.int32)[None, None, :, None]
+    kk4 = jnp.where(pat_w == 0, 2, 4).astype(jnp.int32)[:, None, None, None]
+    pc_l = (kk4 * s_ids4 + c_l) & (C - 1)
+    stay_m = p_m[w_ix, s_ids4, f_ix4, lp]
+    move_m = pm1_m[w_ix, pc_l, g_l, lp]
+    raw_m = jnp.where(is_stay_l[..., None], stay_m, move_m)
+    sh_l = jnp.where(is_stay_l, 0,
+                     shift2[:, None, None, None]).astype(jnp.uint32)
+    nb_l = jnp.where(is_stay_l, 0,
+                     nbits_w[:, :, None, None]).astype(jnp.uint32)
+    shifted = _shift_msg(raw_m, sh_l, nb_l)
+    new_m_w = jnp.where(filled[..., None], shifted, cur_m_w)
+    new_m = jax.lax.dynamic_update_slice_in_dim(stale_m, new_m_w, start1,
+                                                axis=0)
+    return (new_sc, new_h1, new_h2, new_m,
+            prev_sc, prev_h1, prev_h2, prev_m), ()
 
 
 def _init_buffers(spec: LVASpec):
@@ -276,9 +384,11 @@ def _init_buffers(spec: LVASpec):
     sc = jnp.full((P, C, NCRF, L), NEG_INF, jnp.float32)
     # pos 0 lives at padded index 1 (index 0 is the ghost row for pos -1)
     sc = sc.at[1, spec.code.initial_state, :, 0].set(0.0)
+    h = jnp.zeros((P, C, NCRF, L), jnp.uint32)
     m = jnp.zeros((P, C, NCRF, L, M), jnp.uint32)
     other_sc = jnp.full((P, C, NCRF, L), NEG_INF, jnp.float32)
-    return sc, m, other_sc, jnp.zeros_like(m)
+    return (sc, h, h, m, other_sc, jnp.zeros_like(h), jnp.zeros_like(h),
+            jnp.zeros_like(m))
 
 
 def _decode_single(spec: LVASpec, consts, post, starts, nblk):
@@ -286,14 +396,15 @@ def _decode_single(spec: LVASpec, consts, post, starts, nblk):
     T = post.shape[0]
     carry = _init_buffers(spec)
     active = jnp.arange(T) < nblk
-    step = partial(_step, spec, consts)
+    step_fn = _step if spec.backend == "xla" else _step_pallas
+    step = partial(step_fn, spec, consts)
     carry, _ = jax.lax.scan(step, carry, (post, starts, active))
     # the buffer written at the read's last active step t = nblk-1: if the
     # total step count and nblk have the same parity it is carry[0] else
-    # carry[2] (buffers swap every step, including inactive ones).
+    # carry[4] (buffers swap every step, including inactive ones).
     same = (T - nblk) % 2 == 0
-    fin_sc = jnp.where(same, carry[0], carry[2])
-    fin_m = jnp.where(same, carry[1], carry[3])
+    fin_sc = jnp.where(same, carry[0], carry[4])
+    fin_m = jnp.where(same, carry[3], carry[7])
     last_pos = spec.code.nstate_pos - 1 + 1  # +1 ghost offset
     sc = fin_sc[last_pos, spec.code.final_state]  # [8, L]
     m = fin_m[last_pos, spec.code.final_state]  # [8, L, M]

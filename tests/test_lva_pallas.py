@@ -1,0 +1,29 @@
+"""Pallas ACS kernel (interpret mode) golden parity — a representative
+subset: punctured rate, RC, beam, multiple list sizes."""
+import json
+
+import numpy as np
+import pytest
+
+from tests.test_lva_decode import _cases, _load_post, _ref_lists
+from nanopore_dna_storage_tpu.config import ConvCodeConfig, DecodeConfig
+from nanopore_dna_storage_tpu.ops.lva import LVADecoder
+
+pytestmark = pytest.mark.slow
+
+CASE_NAMES = ["m6_r5_rc0_l8", "m6_r5_rc1_l8", "m6_r1_rc0_l4", "m8_r3_rc1_l4"]
+
+
+@pytest.mark.parametrize("name", CASE_NAMES)
+def test_pallas_interpret_golden(golden_dir, name):
+    case = next(c for c in _cases(golden_dir) if c["name"] == name)
+    cfg = DecodeConfig(
+        code=ConvCodeConfig(mem=case["mem"], rate=case["rate"],
+                            msg_len=case["msg_len"], rc=case["rc"]),
+        list_size=case["list_size"], max_deviation=case["max_deviation"],
+        backend="pallas_interpret")
+    dec = LVADecoder(cfg)
+    post = _load_post(golden_dir, case["name"])
+    msgs, _, valid = dec.decode(post[None])
+    got = ["".join(map(str, m)) for m, v in zip(msgs[0], valid[0]) if v]
+    assert got == _ref_lists(golden_dir, case["name"]), name
