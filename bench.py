@@ -97,8 +97,8 @@ def main():
     else:
         cfg = ConvCodeConfig(mem=11, rate=5, msg_len=180)
         list_size, dev = 8, 20
-        batch = args.batch or 8
-        n_reads = args.reads or 32
+        batch = args.batch or 4
+        n_reads = args.reads or 16
         metric = "reads_per_s_m11_r5l6_l8"
 
     posts, _ = gen_posts(cfg, n_reads, seed=42)

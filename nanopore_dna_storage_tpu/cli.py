@@ -204,6 +204,60 @@ def cmd_rs_recover(args):
     print(json.dumps({"trials": args.num_trials, "successes": successes}))
 
 
+def cmd_decode_posts(args):
+    """Decode flappie-produced artifacts (post [+fastq+trans]) to list files
+    (generate_decoded_lists.py equivalent for pre-basecalled reads)."""
+    import glob
+    import os
+
+    from .pipeline.real_data import (
+        decode_posts_with_barcodes, write_decoded_lists,
+        load_flappie_artifacts, ReadDecodeRecord,
+    )
+    from .pipeline.decode import PipelineDecoder
+    from .io.post import read_post
+
+    exp = _experiment(args)
+    post_files = sorted(glob.glob(os.path.join(args.post_dir, "*.post")))
+    if not post_files:
+        raise SystemExit(f"no .post files in {args.post_dir}")
+    if args.with_barcodes:
+        ids, posts, calls, transes = [], [], [], []
+        for pf in post_files:
+            stem = pf[: -len(".post")]
+            post, call, trans = load_flappie_artifacts(
+                pf, stem + ".fastq", stem + ".trans")
+            ids.append(os.path.basename(stem))
+            posts.append(post)
+            calls.append(call)
+            transes.append(trans)
+        records = decode_posts_with_barcodes(
+            ids, posts, calls, transes, exp, args.list_size,
+            max_deviation=args.max_deviation)
+    else:
+        # posts already truncated to the payload window; decode fwd + rc and
+        # keep the orientation whose best score wins
+        dec = PipelineDecoder(exp, args.list_size, args.max_deviation)
+        posts = [read_post(pf) for pf in post_files]
+        records = []
+        n = len(posts)
+        out_f = dec.decode_posts(posts, [False] * n,
+                                 1 << exp.framing.index_len)
+        out_r = dec.decode_posts(posts, [True] * n,
+                                 1 << exp.framing.index_len)
+        for i, pf in enumerate(post_files):
+            rid = os.path.basename(pf)[: -len(".post")]
+            use_rc = (out_r.index[i] >= 0) and (out_f.index[i] < 0)
+            out = out_r if use_rc else out_f
+            msgs = ["".join(map(str, m))
+                    for m, v in zip(out.msgs[i], out.valid[i]) if v]
+            records.append(ReadDecodeRecord(rid, "ok", use_rc, msgs=msgs))
+    os.makedirs(args.outdir, exist_ok=True)
+    write_decoded_lists(args.outdir, records)
+    ok = sum(1 for r in records if r.status == "ok")
+    print(json.dumps({"reads": len(records), "decoded": ok}))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="nds-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -240,6 +294,17 @@ def main(argv=None):
     p.add_argument("--ins", type=float, default=0.0005)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_sim_decode)
+
+    p = sub.add_parser("decode-posts")
+    _add_exp_args(p)
+    p.add_argument("--post-dir", required=True)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--list-size", type=int, default=8)
+    p.add_argument("--max-deviation", type=int, default=20)
+    p.add_argument("--with-barcodes", action="store_true",
+                   help="expect .fastq/.trans next to each .post and locate "
+                        "barcodes (generate_decoded_lists.py flow)")
+    p.set_defaults(fn=cmd_decode_posts)
 
     p = sub.add_parser("error-rate")
     _add_exp_args(p)
