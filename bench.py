@@ -82,6 +82,9 @@ def main():
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--reads", type=int, default=0)
     ap.add_argument("--skip-cpp", action="store_true")
+    ap.add_argument("--backend", default="xla",
+                    choices=["xla", "pallas", "pallas_interpret"])
+    ap.add_argument("--merge-rounds", type=int, default=None)
     args = ap.parse_args()
 
     from nanopore_dna_storage_tpu.config import ConvCodeConfig, DecodeConfig
@@ -103,7 +106,8 @@ def main():
 
     posts, _ = gen_posts(cfg, n_reads, seed=42)
     dec = LVADecoder(DecodeConfig(code=cfg, list_size=list_size,
-                                  max_deviation=dev))
+                                  max_deviation=dev, backend=args.backend,
+                                  merge_rounds=args.merge_rounds))
     packed, nblks = pack_posts(posts)
 
     # warmup/compile on first batch
