@@ -198,15 +198,20 @@ def _step(spec: LVASpec, consts, carry, xs):
 
     # --- K-way lazy merge with hash dedup -----------------------------------
     def heads(ptr):
-        """Current head score of each predecessor. ptr: [W,C,8,NQ] int32."""
-        pstay = jnp.clip(ptr[..., 0], 0, L - 1)
-        h0 = jnp.take_along_axis(p_sc, pstay[..., None], axis=-1)[..., 0]
-        h0 = jnp.where(ptr[..., 0] < L, h0 + stay_tr[None, None, :], NEG_INF)
+        """Current head score of each predecessor. ptr: [W,C,8,NQ] int32.
+
+        List-slot selection by one-hot accumulation over L — no
+        data-dependent gathers (TPU-friendly; L is small).
+        """
+        p0 = ptr[..., 0]
+        h0 = jnp.zeros(p0.shape, jnp.float32)
+        for l in range(L):
+            h0 = h0 + jnp.where(p0 == l, p_sc[..., l], 0.0)
+        h0 = jnp.where(p0 < L, h0 + stay_tr[None, None, :], NEG_INF)
         pmove = ptr[..., 1:].reshape(W, C, NCRF, NC, NCRF)  # [W,C,f,c,g]
-        src_f = src[:, :, None]  # [W,C,1,4,8,L] broadcast over f
-        hm = jnp.take_along_axis(
-            jnp.broadcast_to(src_f, (W, C, NCRF, NC, NCRF, L)),
-            jnp.clip(pmove, 0, L - 1)[..., None], axis=-1)[..., 0]
+        hm = jnp.zeros(pmove.shape, jnp.float32)
+        for l in range(L):
+            hm = hm + jnp.where(pmove == l, src[:, :, None, :, :, l], 0.0)
         hm = jnp.where(pmove < L, hm + mtr, NEG_INF)
         return jnp.concatenate([h0[..., None], hm.reshape(W, C, NCRF, NQ - 1)],
                                axis=-1)
