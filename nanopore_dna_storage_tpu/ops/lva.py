@@ -173,15 +173,20 @@ def _step(spec: LVASpec, consts, carry, xs):
     pm1_h1 = slc(prev_h1, start1 - 1)
     pm1_h2 = slc(prev_h2, start1 - 1)
 
-    # --- move candidate score sources over the conv axis --------------------
-    src1 = _expand_conv_sources(pm1_sc, 2, C)  # [W,C,2,8,L]
-    src2 = _expand_conv_sources(pm1_sc, 4, C)  # [W,C,4,8,L]
+    # --- move candidate sources over the conv axis --------------------------
     pat_w = consts["pattern_of_pos"][pos_w]  # [W]
     is1 = (pat_w == 0)[:, None, None, None, None]
-    src = jnp.where(
-        is1,
-        jnp.concatenate([src1, jnp.full_like(src1, NEG_INF)], axis=2),
-        src2)  # [W,C,4,8,L]
+
+    def expand(a, fill):
+        e2 = _expand_conv_sources(a, 2, C)  # [W,C,2,8,L]
+        e4 = _expand_conv_sources(a, 4, C)  # [W,C,4,8,L]
+        return jnp.where(
+            is1,
+            jnp.concatenate([e2, jnp.full_like(e2, fill)], axis=2), e4)
+
+    src = expand(pm1_sc, NEG_INF)  # [W,C,4,8,L]
+    srch1 = expand(pm1_h1, jnp.uint32(0))
+    srch2 = expand(pm1_h2, jnp.uint32(0))
 
     # --- transition scores and validity ------------------------------------
     stay_tr = postf[consts["stay_idx"]]  # [8]
@@ -197,62 +202,55 @@ def _step(spec: LVASpec, consts, carry, xs):
         move_tr[None, None, :, None, :], NEG_INF)  # [W,C,f,c,g]
 
     # --- K-way lazy merge with hash dedup -----------------------------------
-    def heads(ptr):
-        """Current head score of each predecessor. ptr: [W,C,8,NQ] int32.
-
-        List-slot selection by one-hot accumulation over L — no
-        data-dependent gathers (TPU-friendly; L is small).
-        """
-        p0 = ptr[..., 0]
-        h0 = jnp.zeros(p0.shape, jnp.float32)
-        for l in range(L):
-            h0 = h0 + jnp.where(p0 == l, p_sc[..., l], 0.0)
-        h0 = jnp.where(p0 < L, h0 + stay_tr[None, None, :], NEG_INF)
-        pmove = ptr[..., 1:].reshape(W, C, NCRF, NC, NCRF)  # [W,C,f,c,g]
-        hm = jnp.zeros(pmove.shape, jnp.float32)
-        for l in range(L):
-            hm = hm + jnp.where(pmove == l, src[:, :, None, :, :, l], 0.0)
-        hm = jnp.where(pmove < L, hm + mtr, NEG_INF)
-        return jnp.concatenate([h0[..., None], hm.reshape(W, C, NCRF, NQ - 1)],
-                               axis=-1)
-
+    # Head-tuple formulation: for every predecessor q we maintain its current
+    # head (score, hash1, hash2) aligned over a [W,C,8,NQ] axis. Each round:
+    # argmax over NQ, one-hot extraction of the winner fields, hash dedup,
+    # and a masked head refresh from the expanded candidate lists. No
+    # data-dependent gathers anywhere (XLA:TPU lowers those serially).
     shift2 = jnp.where(pat_w == 0, 1, 2).astype(jnp.uint32)  # [W]
     nbits_w = jnp.where((pat_w == 0)[:, None], consts["newbits1"][None, :],
                         consts["newbits2"][None, :])  # [W,C]
-    w_ix = jnp.arange(W)[:, None, None]
-    s_ids = jnp.arange(C, dtype=jnp.int32)[None, :, None]
-    f_ix = jnp.broadcast_to(f_ids[None, None, :], (W, C, NCRF))
-    kk = jnp.where(pat_w == 0, 2, 4).astype(jnp.int32)[:, None, None]
+
+    q_range = jnp.arange(NQ)
+    l_range = jnp.arange(L)
+    mtr_flat = mtr.reshape(W, C, NCRF, NQ - 1)
+
+    def cand_at(l):
+        """Per-pred candidate tuple at list slot l: ([W,C,8,NQ] score,
+        hash1, hash2). Move hashes are already shift-updated; nothing
+        larger than [W,C,8,NQ] is materialized."""
+        stay_s = (p_sc[..., l] + stay_tr[None, None, :])[..., None]
+        move_s = src[..., l].reshape(W, C, 1, NQ - 1) + mtr_flat
+        sc = jnp.concatenate([stay_s, move_s], axis=-1)
+        mh1 = _hash_update(srch1[..., l], shift2[:, None, None, None],
+                           nbits_w[:, :, None, None], HASH_P1)
+        mh2 = _hash_update(srch2[..., l], shift2[:, None, None, None],
+                           nbits_w[:, :, None, None], HASH_P2)
+        h1 = jnp.concatenate(
+            [p_h1[..., l][..., None],
+             jnp.broadcast_to(mh1.reshape(W, C, 1, NQ - 1),
+                              (W, C, NCRF, NQ - 1))], axis=-1)
+        h2 = jnp.concatenate(
+            [p_h2[..., l][..., None],
+             jnp.broadcast_to(mh2.reshape(W, C, 1, NQ - 1),
+                              (W, C, NCRF, NQ - 1))], axis=-1)
+        return sc, h1, h2
 
     def round_body(_, st):
-        ptr, out_sc, out_h1, out_h2, out_q, out_lp, acc = st
-        h = heads(ptr)  # [W,C,8,NQ]
-        qstar = jnp.argmax(h, axis=-1)  # [W,C,8]
-        hstar = jnp.take_along_axis(h, qstar[..., None], axis=-1)[..., 0]
+        (head_sc, head_h1, head_h2, ptr, out_sc, out_h1, out_h2,
+         out_q, out_lp, acc) = st
+        qstar = jnp.argmax(head_sc, axis=-1)  # [W,C,8]
+        oh_q = qstar[..., None] == q_range  # [W,C,8,NQ]
+        hstar = jnp.max(head_sc, axis=-1)
         ok = hstar > NEG_INF
-
-        is_stay = qstar == 0
-        qm = qstar - 1
-        cstar = qm // NCRF
-        gstar = qm % NCRF
-        ptr_star = jnp.take_along_axis(ptr, qstar[..., None], axis=-1)[..., 0]
-        pc = (kk * s_ids + cstar) & (C - 1)
+        ch1 = jnp.where(oh_q, head_h1, 0).sum(-1).astype(jnp.uint32)
+        ch2 = jnp.where(oh_q, head_h2, 0).sum(-1).astype(jnp.uint32)
+        ptr_star = jnp.where(oh_q, ptr, 0).sum(-1)
         lidx = jnp.clip(ptr_star, 0, L - 1)
-        # winner's source hashes
-        sh1 = jnp.where(is_stay,
-                        p_h1[w_ix, s_ids, f_ix, lidx],
-                        pm1_h1[w_ix, pc, gstar, lidx])
-        sh2 = jnp.where(is_stay,
-                        p_h2[w_ix, s_ids, f_ix, lidx],
-                        pm1_h2[w_ix, pc, gstar, lidx])
-        sh = jnp.where(is_stay, 0, shift2[:, None, None]).astype(jnp.uint32)
-        nb = jnp.where(is_stay, 0, nbits_w[:, :, None]).astype(jnp.uint32)
-        ch1 = _hash_update(sh1, sh, nb, HASH_P1)
-        ch2 = _hash_update(sh2, sh, nb, HASH_P2)
 
         # dedup against accepted candidates
         eq = (out_h1 == ch1[..., None]) & (out_h2 == ch2[..., None])
-        eq = eq & (jnp.arange(L)[None, None, None, :] < acc[..., None])
+        eq = eq & (l_range[None, None, None, :] < acc[..., None])
         seen = eq.any(-1)
         if spec.combine_lse:
             # accumulate duplicate-path probability mass into the accepted
@@ -262,7 +260,7 @@ def _step(spec: LVASpec, consts, carry, xs):
                                out_sc)
 
         accept = ok & ~seen & (acc < L)
-        onehot = (jnp.arange(L)[None, None, None, :] == acc[..., None]) & \
+        onehot = (l_range[None, None, None, :] == acc[..., None]) & \
             accept[..., None]
         out_sc = jnp.where(onehot, hstar[..., None], out_sc)
         out_h1 = jnp.where(onehot, ch1[..., None], out_h1)
@@ -270,11 +268,27 @@ def _step(spec: LVASpec, consts, carry, xs):
         out_q = jnp.where(onehot, qstar[..., None], out_q)
         out_lp = jnp.where(onehot, lidx[..., None], out_lp)
         acc = acc + accept.astype(jnp.int32)
-        ptr = ptr + (jax.nn.one_hot(qstar, NQ, dtype=jnp.int32)
-                     * ok[..., None].astype(jnp.int32))
-        return ptr, out_sc, out_h1, out_h2, out_q, out_lp, acc
 
+        # advance the winner's pointer and refresh its head from cand lists
+        adv = oh_q & ok[..., None]
+        ptr = ptr + adv.astype(jnp.int32)
+        exhausted = ptr >= L
+        new_head_sc = jnp.where(exhausted, NEG_INF, head_sc)
+        new_head_h1 = head_h1
+        new_head_h2 = head_h2
+        pl = jnp.clip(ptr, 0, L - 1)
+        for l in range(1, L):  # refreshed heads always have ptr >= 1
+            at = adv & (pl == l)
+            c_sc, c_h1, c_h2 = cand_at(l)
+            new_head_sc = jnp.where(at & ~exhausted, c_sc, new_head_sc)
+            new_head_h1 = jnp.where(at, c_h1, new_head_h1)
+            new_head_h2 = jnp.where(at, c_h2, new_head_h2)
+        return (new_head_sc, new_head_h1, new_head_h2, ptr, out_sc,
+                out_h1, out_h2, out_q, out_lp, acc)
+
+    init_head_sc, init_head_h1, init_head_h2 = cand_at(0)
     init = (
+        init_head_sc, init_head_h1, init_head_h2,
         jnp.zeros((W, C, NCRF, NQ), jnp.int32),
         jnp.full((W, C, NCRF, L), NEG_INF, jnp.float32),
         jnp.zeros((W, C, NCRF, L), jnp.uint32),
@@ -283,21 +297,39 @@ def _step(spec: LVASpec, consts, carry, xs):
         jnp.zeros((W, C, NCRF, L), jnp.int32),
         jnp.zeros((W, C, NCRF), jnp.int32),
     )
-    (_, new_sc, new_h1, new_h2, out_q, out_lp, _) = jax.lax.fori_loop(
-        0, spec.merge_rounds, round_body, init)
+    (_, _, _, _, new_sc, new_h1, new_h2, out_q, out_lp, _) = \
+        jax.lax.fori_loop(0, spec.merge_rounds, round_body, init)
 
     # --- materialize messages from the winning selections -------------------
+    # Masked accumulation over (pred, source slot) — the same no-gather
+    # policy as the merge (XLA:TPU lowers data-dependent gathers serially).
     p_m = slc(prev_m, start1)
     pm1_m = slc(prev_m, start1 - 1)
+    r2m = pm1_m.reshape(W, C // 2, 2, NCRF, L, M)
+    r4m = pm1_m.reshape(W, C // 4, 4, NCRF, L, M)
+    is1m = (pat_w == 0)[:, None, None]
+
+    def move_src_m(c, g, l):
+        """Message words of move predecessor (c, g) at slot l: [W, C, M].
+        Small tiled slices of the previous-position row — nothing expanded."""
+        v2 = jnp.tile(r2m[:, :, c % 2, g, l], (1, 2, 1))
+        v4 = jnp.tile(r4m[:, :, c, g, l], (1, 4, 1))
+        return jnp.where(is1m, v2, v4)
+
     is_stay_l = out_q == 0  # [W,C,8,L]
-    qm = out_q - 1
-    c_l = qm // NCRF
-    g_l = qm % NCRF
-    pc_l = (kk[..., None] * s_ids[..., None] + c_l) & (C - 1)
     lp = jnp.clip(out_lp, 0, L - 1)
-    stay_m = p_m[w_ix[..., None], s_ids[..., None], f_ix[..., None], lp]
-    move_m = pm1_m[w_ix[..., None], pc_l, g_l, lp]
-    raw_m = jnp.where(is_stay_l[..., None], stay_m, move_m)  # [W,C,8,L,M]
+    raw_m = jnp.zeros((W, C, NCRF, L, M), jnp.uint32)
+    for l_src in range(L):
+        at_l = lp == l_src
+        raw_m = jnp.where((is_stay_l & at_l)[..., None],
+                          p_m[:, :, :, l_src, None, :], raw_m)
+        for c in range(NC):
+            for g in range(NCRF):
+                q = 1 + c * NCRF + g
+                sel = (out_q == q) & at_l  # [W,C,8,L]
+                raw_m = jnp.where(
+                    sel[..., None],
+                    move_src_m(c, g, l_src)[:, :, None, None, :], raw_m)
     sh_l = jnp.where(is_stay_l, 0,
                      shift2[:, None, None, None]).astype(jnp.uint32)
     nb_l = jnp.where(is_stay_l, 0,

@@ -102,5 +102,40 @@ def main(stage: int):
     print(f"elapsed {time.time() - t0:.1f}s")
 
 
+def micro(stage: int):
+    import jax
+    import jax.numpy as jnp
+    import time
+    t0 = time.time()
+    P, C, L, W = 20, 64, 4, 8
+    x = jnp.arange(P * C * 8 * L, dtype=jnp.float32).reshape(P, C, 8, L)
+    pm1 = jax.lax.dynamic_slice_in_dim(x, 2, W, axis=0)
+
+    def f7(pm1):  # tile/reshape expansion only
+        s1 = jnp.tile(pm1.reshape(W, C // 2, 2, 8, L), (1, 2, 1, 1, 1))
+        return s1.sum()
+
+    def f8(pm1):  # concat with -inf fill + where on broadcast bool
+        s1 = jnp.tile(pm1.reshape(W, C // 2, 2, 8, L), (1, 2, 1, 1, 1))
+        s2 = jnp.tile(pm1.reshape(W, C // 4, 4, 8, L), (1, 4, 1, 1, 1))
+        cat = jnp.concatenate([s1, jnp.full_like(s1, -jnp.inf)], axis=2)
+        sel = jnp.where(jnp.array([True])[0], s2, cat)
+        return jnp.where(jnp.isfinite(sel), sel, 0.0).sum()
+
+    def f9(pm1):  # scan wrapping the tile expansion
+        def step(c, _):
+            s2 = jnp.tile(pm1.reshape(W, C // 4, 4, 8, L), (1, 4, 1, 1, 1))
+            return c + s2.mean(), ()
+        out, _ = jax.lax.scan(step, 0.0, None, length=4)
+        return out
+
+    fn = {7: f7, 8: f8, 9: f9}[stage]
+    print("micro", stage, float(jax.jit(fn)(pm1)), f"{time.time()-t0:.1f}s")
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]))
+    s = int(sys.argv[1])
+    if s >= 7:
+        micro(s)
+    else:
+        main(s)

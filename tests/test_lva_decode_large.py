@@ -18,3 +18,10 @@ def test_golden_decode_parity_large(golden_dir, idx):
         pytest.skip("covered by the fast suite")
     got, _, want = _run_case(golden_dir, case, merge_rounds=None)
     assert got == want, f"decode mismatch for {case['name']}"
+
+
+def test_l64_golden_parity(golden_dir):
+    """The reference's default list size for m=8 is 64 (supplementary 5.2)."""
+    case = next(c for c in _cases(golden_dir) if c["list_size"] == 64)
+    got, _, want = _run_case(golden_dir, case, merge_rounds=None)
+    assert got == want
