@@ -100,33 +100,47 @@ def main():
     else:
         cfg = ConvCodeConfig(mem=11, rate=5, msg_len=180)
         list_size, dev = 8, 20
-        batch = args.batch or 4
-        n_reads = args.reads or 16
+        batch = args.batch or 2
+        n_reads = args.reads or 8
         metric = "reads_per_s_m11_r5l6_l8"
 
     posts, _ = gen_posts(cfg, n_reads, seed=42)
-    dec = LVADecoder(DecodeConfig(code=cfg, list_size=list_size,
-                                  max_deviation=dev, backend=args.backend,
-                                  merge_rounds=args.merge_rounds))
     packed, nblks = pack_posts(posts)
 
-    # warmup/compile on first batch
-    b0 = packed[:batch]
-    dec.decode(b0, nblks[:batch])
-    t0 = time.perf_counter()
-    done = 0
-    while done < n_reads:
-        sel = slice(done, min(done + batch, n_reads))
-        nsel = sel.stop - sel.start
-        if nsel < batch:  # keep a fixed compiled shape
-            idx = list(range(sel.start, sel.stop))
-            idx += [0] * (batch - nsel)
-            dec.decode(packed[idx], nblks[idx])
-        else:
-            dec.decode(packed[sel], nblks[sel])
-        done += nsel
-    dt = time.perf_counter() - t0
-    tpu_rps = n_reads / dt
+    def run_with_batch(b):
+        dec = LVADecoder(DecodeConfig(code=cfg, list_size=list_size,
+                                      max_deviation=dev,
+                                      backend=args.backend,
+                                      merge_rounds=args.merge_rounds))
+        dec.decode(packed[:b], nblks[:b])  # warmup/compile
+        t0 = time.perf_counter()
+        done = 0
+        while done < n_reads:
+            sel = slice(done, min(done + b, n_reads))
+            nsel = sel.stop - sel.start
+            if nsel < b:  # keep a fixed compiled shape
+                idx = list(range(sel.start, sel.stop)) + [0] * (b - nsel)
+                dec.decode(packed[idx], nblks[idx])
+            else:
+                dec.decode(packed[sel], nblks[sel])
+            done += nsel
+        return n_reads / (time.perf_counter() - t0)
+
+    # a crashed/flaky TPU worker or HBM pressure should degrade, not fail:
+    # try the requested batch, then smaller ones
+    tpu_rps = None
+    for b in [x for x in dict.fromkeys([batch, 2, 1]) if x >= 1]:
+        try:
+            tpu_rps = run_with_batch(b)
+            batch = b
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"# batch {b} failed: {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+    if tpu_rps is None:
+        print(json.dumps({"metric": metric, "value": None,
+                          "unit": "reads/s", "vs_baseline": None}))
+        return
 
     key = f"{metric}_cpp"
     baseline = {}
