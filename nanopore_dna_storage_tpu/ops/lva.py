@@ -94,6 +94,8 @@ def _consts(spec: LVASpec, tabs: tb.TrellisTables):
         move_idx=jnp.asarray(tb.move_post_index()),  # [8,8]
         crf_mask=jnp.asarray(tb.crf_move_mask()),  # [8,8]
         base_out=jnp.asarray(tabs.base_out.astype(np.int32)),  # [4,C,4]
+        base_out_cmin=jnp.asarray(
+            np.transpose(tabs.base_out.astype(np.int32), (0, 2, 1))),
         newbits1=jnp.asarray(tabs.newbits1.astype(np.uint32)),  # [C]
         newbits2=jnp.asarray(tabs.newbits2.astype(np.uint32)),  # [C]
         # valid_state with the leading ghost row (pos -1): all False.
@@ -133,24 +135,45 @@ def _hash_update(h: jnp.ndarray, shift: jnp.ndarray, newbits: jnp.ndarray,
     return t
 
 
-def _expand_conv_sources(x: jnp.ndarray, k: int, nstate_conv: int) -> jnp.ndarray:
-    """Predecessor view over the conv axis (axis 1 of [W, C, ...]).
+def _expand_minor(x: jnp.ndarray, k: int, C: int) -> jnp.ndarray:
+    """Predecessor view over the conv axis (minor axis of [..., C]).
 
-    out[w, s, c] = x[w, (k*s + c) mod C] for c in [0, k); implemented as
-    reshape+tile (viterbi shift-register structure), no gather.
-    Returns [W, C, k, ...].
+    out[..., c, s] = x[..., (k*s + c) mod C] for c in [0, k): the trellis
+    shift-register structure as a reshape + minor-dims transpose + tile —
+    no gathers. Returns [..., k, C].
     """
-    w = x.shape[0]
-    rest = x.shape[2:]
-    r = x.reshape((w, nstate_conv // k, k) + rest)
-    return jnp.tile(r, (1, k) + (1,) * (len(rest) + 1))
+    r = x.reshape(x.shape[:-1] + (C // k, k))
+    rt = jnp.swapaxes(r, -1, -2)  # [..., k, C//k]
+    reps = (1,) * (rt.ndim - 1) + (k,)
+    return jnp.tile(rt, reps)
+
+
+def _shift_msg_m(msg: jnp.ndarray, shift: jnp.ndarray,
+                 newbits: jnp.ndarray) -> jnp.ndarray:
+    """msg' = (msg << shift) | newbits over packed uint32 words.
+
+    msg: [..., M, L, C] with word 0 least-significant along axis -3;
+    shift/newbits broadcastable to [..., L, C], shift in {0, 1, 2}.
+    """
+    sh = shift.astype(jnp.uint32)[..., None, :, :]
+    carry_shift = jnp.where(sh == 0, jnp.uint32(1), 32 - sh)
+    up = msg << sh
+    carry = jnp.where(sh == 0, jnp.uint32(0), msg >> carry_shift)
+    carry = jnp.concatenate(
+        [jnp.zeros_like(carry[..., :1, :, :]), carry[..., :-1, :, :]],
+        axis=-3)
+    out = up | carry
+    first = out[..., 0, :, :] | newbits.astype(jnp.uint32)
+    return jnp.concatenate([first[..., None, :, :], out[..., 1:, :, :]],
+                           axis=-3)
 
 
 def _step(spec: LVASpec, consts, carry, xs):
     """One signal block t.
 
-    carry = (prev_sc, prev_h1, prev_h2, prev_m, stale_sc, stale_h1,
-             stale_h2, stale_m).
+    State layout is TPU-native: the conv axis (a multiple of 128) is minor
+    everywhere, so XLA's (8, 128) tiling pads nothing. Buffers:
+    scores/hashes [P, 8crf, L, C]; messages [P, 8crf, M, L, C].
     """
     (prev_sc, prev_h1, prev_h2, prev_m,
      stale_sc, stale_h1, stale_h2, stale_m) = carry
@@ -160,117 +183,110 @@ def _step(spec: LVASpec, consts, carry, xs):
     postf = post_t.reshape(-1)  # [40]
 
     start1 = start + 1  # account for the leading ghost row
-    pos_w = start1 + jnp.arange(W)  # padded-position index of window slots
+    pos_w = start1 + jnp.arange(W)
 
-    # --- window slices -----------------------------------------------------
     def slc(a, s0):
         return jax.lax.dynamic_slice_in_dim(a, s0, W, axis=0)
 
-    p_sc = slc(prev_sc, start1)  # same-position (stay) sources [W,C,8,L]
+    p_sc = slc(prev_sc, start1)  # [W,8,L,C] stay sources
     p_h1 = slc(prev_h1, start1)
     p_h2 = slc(prev_h2, start1)
-    pm1_sc = slc(prev_sc, start1 - 1)  # previous-position (move) sources
+    pm1_sc = slc(prev_sc, start1 - 1)  # move sources (previous position)
     pm1_h1 = slc(prev_h1, start1 - 1)
     pm1_h2 = slc(prev_h2, start1 - 1)
 
-    # --- move candidate sources over the conv axis --------------------------
     pat_w = consts["pattern_of_pos"][pos_w]  # [W]
-    is1 = (pat_w == 0)[:, None, None, None, None]
+    is1 = pat_w == 0
 
     def expand(a, fill):
-        e2 = _expand_conv_sources(a, 2, C)  # [W,C,2,8,L]
-        e4 = _expand_conv_sources(a, 4, C)  # [W,C,4,8,L]
-        return jnp.where(
-            is1,
-            jnp.concatenate([e2, jnp.full_like(e2, fill)], axis=2), e4)
+        """[W, 8g, L, C] -> [W, NC, 8g, L, C] move-candidate lists."""
+        e2 = jnp.moveaxis(_expand_minor(a, 2, C), -2, 1)  # [W,2,8,L,C]
+        e4 = jnp.moveaxis(_expand_minor(a, 4, C), -2, 1)  # [W,4,8,L,C]
+        e2 = jnp.concatenate([e2, jnp.full_like(e2, fill)], axis=1)
+        return jnp.where(is1[:, None, None, None, None], e2, e4)
 
-    src = expand(pm1_sc, NEG_INF)  # [W,C,4,8,L]
+    src = expand(pm1_sc, NEG_INF)  # [W,4c,8g,L,C]
     srch1 = expand(pm1_h1, jnp.uint32(0))
     srch2 = expand(pm1_h2, jnp.uint32(0))
 
     # --- transition scores and validity ------------------------------------
     stay_tr = postf[consts["stay_idx"]]  # [8]
-    move_tr = postf[consts["move_idx"]]  # [f=8, g=8]
-    bo = consts["base_out"][pat_w]  # [W,C,4]
+    move_tr = postf[consts["move_idx"]]  # [f, g]
+    bo = consts["base_out_cmin"][pat_w]  # [W, NC, C] emitted base per (c, s)
     f_ids = jnp.arange(NCRF, dtype=jnp.int32)
-    base_match = bo[:, :, None, :] == (f_ids % 4)[None, None, :, None]
-    c_valid = jnp.arange(NC)[None, :] < jnp.where(pat_w == 0, 2, 4)[:, None]
-    mvalid = base_match & c_valid[:, None, None, :]  # [W,C,f,c]
-    mvalid = mvalid & (pos_w > 1)[:, None, None, None]  # no moves into pos 0
+    base_match = bo[:, None, :, :] == (f_ids % 4)[None, :, None, None]
+    c_valid = jnp.arange(NC)[None, :] < jnp.where(is1, 2, 4)[:, None]
+    mvalid = base_match & c_valid[:, None, :, None] \
+        & (pos_w > 1)[:, None, None, None]  # [W,8f,4c,C]
     mtr = jnp.where(
-        mvalid[..., None] & consts["crf_mask"][None, None, :, None, :],
-        move_tr[None, None, :, None, :], NEG_INF)  # [W,C,f,c,g]
+        mvalid[:, :, :, None, :] & consts["crf_mask"][None, :, None, :, None],
+        move_tr[None, :, None, :, None], NEG_INF)  # [W,8f,4c,8g,C]
+    mtr_flat = mtr.reshape(W, NCRF, NQ - 1, C)
 
-    # --- K-way lazy merge with hash dedup -----------------------------------
-    # Head-tuple formulation: for every predecessor q we maintain its current
-    # head (score, hash1, hash2) aligned over a [W,C,8,NQ] axis. Each round:
-    # argmax over NQ, one-hot extraction of the winner fields, hash dedup,
-    # and a masked head refresh from the expanded candidate lists. No
-    # data-dependent gathers anywhere (XLA:TPU lowers those serially).
-    shift2 = jnp.where(pat_w == 0, 1, 2).astype(jnp.uint32)  # [W]
-    nbits_w = jnp.where((pat_w == 0)[:, None], consts["newbits1"][None, :],
-                        consts["newbits2"][None, :])  # [W,C]
+    shift2 = jnp.where(is1, 1, 2).astype(jnp.uint32)  # [W]
+    nbits_w = jnp.where(is1[:, None], consts["newbits1"][None, :],
+                        consts["newbits2"][None, :])  # [W, C]
 
     q_range = jnp.arange(NQ)
     l_range = jnp.arange(L)
-    mtr_flat = mtr.reshape(W, C, NCRF, NQ - 1)
 
     def cand_at(l):
-        """Per-pred candidate tuple at list slot l: ([W,C,8,NQ] score,
-        hash1, hash2). Move hashes are already shift-updated; nothing
-        larger than [W,C,8,NQ] is materialized."""
-        stay_s = (p_sc[..., l] + stay_tr[None, None, :])[..., None]
-        move_s = src[..., l].reshape(W, C, 1, NQ - 1) + mtr_flat
-        sc = jnp.concatenate([stay_s, move_s], axis=-1)
-        mh1 = _hash_update(srch1[..., l], shift2[:, None, None, None],
-                           nbits_w[:, :, None, None], HASH_P1)
-        mh2 = _hash_update(srch2[..., l], shift2[:, None, None, None],
-                           nbits_w[:, :, None, None], HASH_P2)
+        """Per-pred candidate tuple at list slot l: ([W,8f,NQ,C] score,
+        hash1, hash2); move hashes already shift-updated."""
+        stay_s = p_sc[:, :, l, :] + stay_tr[None, :, None]  # [W,8,C]
+        move_s = src[:, :, :, l, :].reshape(W, 1, NQ - 1, C) + mtr_flat
+        sc = jnp.concatenate([stay_s[:, :, None, :], move_s], axis=2)
+        mh1 = _hash_update(srch1[:, :, :, l, :],
+                           shift2[:, None, None, None],
+                           nbits_w[:, None, None, :], HASH_P1)
+        mh2 = _hash_update(srch2[:, :, :, l, :],
+                           shift2[:, None, None, None],
+                           nbits_w[:, None, None, :], HASH_P2)
         h1 = jnp.concatenate(
-            [p_h1[..., l][..., None],
-             jnp.broadcast_to(mh1.reshape(W, C, 1, NQ - 1),
-                              (W, C, NCRF, NQ - 1))], axis=-1)
+            [p_h1[:, :, l, :][:, :, None, :],
+             jnp.broadcast_to(mh1.reshape(W, 1, NQ - 1, C),
+                              (W, NCRF, NQ - 1, C))], axis=2)
         h2 = jnp.concatenate(
-            [p_h2[..., l][..., None],
-             jnp.broadcast_to(mh2.reshape(W, C, 1, NQ - 1),
-                              (W, C, NCRF, NQ - 1))], axis=-1)
+            [p_h2[:, :, l, :][:, :, None, :],
+             jnp.broadcast_to(mh2.reshape(W, 1, NQ - 1, C),
+                              (W, NCRF, NQ - 1, C))], axis=2)
         return sc, h1, h2
 
     def round_body(_, st):
         (head_sc, head_h1, head_h2, ptr, out_sc, out_h1, out_h2,
          out_q, out_lp, acc) = st
-        qstar = jnp.argmax(head_sc, axis=-1)  # [W,C,8]
-        oh_q = qstar[..., None] == q_range  # [W,C,8,NQ]
-        hstar = jnp.max(head_sc, axis=-1)
+        qstar = jnp.argmax(head_sc, axis=2)  # [W,8,C]
+        oh_q = qstar[:, :, None, :] == q_range[None, None, :, None]
+        hstar = jnp.max(head_sc, axis=2)
         ok = hstar > NEG_INF
-        ch1 = jnp.where(oh_q, head_h1, 0).sum(-1).astype(jnp.uint32)
-        ch2 = jnp.where(oh_q, head_h2, 0).sum(-1).astype(jnp.uint32)
-        ptr_star = jnp.where(oh_q, ptr, 0).sum(-1)
+        ch1 = jnp.where(oh_q, head_h1, 0).sum(2).astype(jnp.uint32)
+        ch2 = jnp.where(oh_q, head_h2, 0).sum(2).astype(jnp.uint32)
+        ptr_star = jnp.where(oh_q, ptr, 0).sum(2)
         lidx = jnp.clip(ptr_star, 0, L - 1)
 
         # dedup against accepted candidates
-        eq = (out_h1 == ch1[..., None]) & (out_h2 == ch2[..., None])
-        eq = eq & (l_range[None, None, None, :] < acc[..., None])
-        seen = eq.any(-1)
+        eq = (out_h1 == ch1[:, :, None, :]) & (out_h2 == ch2[:, :, None, :])
+        eq = eq & (l_range[None, None, :, None] < acc[:, :, None, :])
+        seen = eq.any(2)
         if spec.combine_lse:
             # accumulate duplicate-path probability mass into the accepted
             # slot instead of discarding (extra/viterbi_nanopore.cpp:883-888)
-            out_sc = jnp.where(eq & ok[..., None],
-                               jnp.logaddexp(out_sc, hstar[..., None]),
+            out_sc = jnp.where(eq & ok[:, :, None, :],
+                               jnp.logaddexp(out_sc, hstar[:, :, None, :]),
                                out_sc)
 
         accept = ok & ~seen & (acc < L)
-        onehot = (l_range[None, None, None, :] == acc[..., None]) & \
-            accept[..., None]
-        out_sc = jnp.where(onehot, hstar[..., None], out_sc)
-        out_h1 = jnp.where(onehot, ch1[..., None], out_h1)
-        out_h2 = jnp.where(onehot, ch2[..., None], out_h2)
-        out_q = jnp.where(onehot, qstar[..., None], out_q)
-        out_lp = jnp.where(onehot, lidx[..., None], out_lp)
+        onehot = (l_range[None, None, :, None] == acc[:, :, None, :]) & \
+            accept[:, :, None, :]
+        out_sc = jnp.where(onehot, hstar[:, :, None, :], out_sc)
+        out_h1 = jnp.where(onehot, ch1[:, :, None, :], out_h1)
+        out_h2 = jnp.where(onehot, ch2[:, :, None, :], out_h2)
+        out_q = jnp.where(onehot, qstar[:, :, None, :], out_q)
+        out_lp = jnp.where(onehot, lidx[:, :, None, :], out_lp)
         acc = acc + accept.astype(jnp.int32)
 
-        # advance the winner's pointer and refresh its head from cand lists
-        adv = oh_q & ok[..., None]
+        # advance the winner's pointer and refresh its head
+        adv = oh_q & ok[:, :, None, :]
         ptr = ptr + adv.astype(jnp.int32)
         exhausted = ptr >= L
         new_head_sc = jnp.where(exhausted, NEG_INF, head_sc)
@@ -289,82 +305,88 @@ def _step(spec: LVASpec, consts, carry, xs):
     init_head_sc, init_head_h1, init_head_h2 = cand_at(0)
     init = (
         init_head_sc, init_head_h1, init_head_h2,
-        jnp.zeros((W, C, NCRF, NQ), jnp.int32),
-        jnp.full((W, C, NCRF, L), NEG_INF, jnp.float32),
-        jnp.zeros((W, C, NCRF, L), jnp.uint32),
-        jnp.zeros((W, C, NCRF, L), jnp.uint32),
-        jnp.zeros((W, C, NCRF, L), jnp.int32),
-        jnp.zeros((W, C, NCRF, L), jnp.int32),
-        jnp.zeros((W, C, NCRF), jnp.int32),
+        jnp.zeros((W, NCRF, NQ, C), jnp.int32),
+        jnp.full((W, NCRF, L, C), NEG_INF, jnp.float32),
+        jnp.zeros((W, NCRF, L, C), jnp.uint32),
+        jnp.zeros((W, NCRF, L, C), jnp.uint32),
+        jnp.zeros((W, NCRF, L, C), jnp.int32),
+        jnp.zeros((W, NCRF, L, C), jnp.int32),
+        jnp.zeros((W, NCRF, C), jnp.int32),
     )
     (_, _, _, _, new_sc, new_h1, new_h2, out_q, out_lp, _) = \
         jax.lax.fori_loop(0, spec.merge_rounds, round_body, init)
 
     # --- materialize messages from the winning selections -------------------
-    # Masked accumulation over (pred, source slot) — the same no-gather
-    # policy as the merge (XLA:TPU lowers data-dependent gathers serially).
-    p_m = slc(prev_m, start1)
+    # Masked accumulation over (pred, source slot) — no data-dependent
+    # gathers (XLA:TPU lowers those serially).
+    p_m = slc(prev_m, start1)  # [W,8,M,L,C]
     pm1_m = slc(prev_m, start1 - 1)
-    r2m = pm1_m.reshape(W, C // 2, 2, NCRF, L, M)
-    r4m = pm1_m.reshape(W, C // 4, 4, NCRF, L, M)
-    is1m = (pat_w == 0)[:, None, None]
 
     def move_src_m(c, g, l):
-        """Message words of move predecessor (c, g) at slot l: [W, C, M].
-        Small tiled slices of the previous-position row — nothing expanded."""
-        v2 = jnp.tile(r2m[:, :, c % 2, g, l], (1, 2, 1))
-        v4 = jnp.tile(r4m[:, :, c, g, l], (1, 4, 1))
-        return jnp.where(is1m, v2, v4)
+        """Message words of move predecessor (c, g) at slot l: [W, M, C]."""
+        v = pm1_m[:, g, :, l, :]  # [W,M,C]
+        v2 = jnp.tile(v.reshape(W, M, C // 2, 2)[..., c % 2], (1, 1, 2))
+        v4 = jnp.tile(v.reshape(W, M, C // 4, 4)[..., c], (1, 1, 4))
+        return jnp.where(is1[:, None, None], v2, v4)
 
-    is_stay_l = out_q == 0  # [W,C,8,L]
+    is_stay_l = out_q == 0  # [W,8,L,C]
     lp = jnp.clip(out_lp, 0, L - 1)
-    raw_m = jnp.zeros((W, C, NCRF, L, M), jnp.uint32)
+    raw_m = jnp.zeros((W, NCRF, M, L, C), jnp.uint32)
     for l_src in range(L):
         at_l = lp == l_src
-        raw_m = jnp.where((is_stay_l & at_l)[..., None],
-                          p_m[:, :, :, l_src, None, :], raw_m)
+        raw_m = jnp.where((is_stay_l & at_l)[:, :, None, :, :],
+                          p_m[:, :, :, l_src, :][:, :, :, None, :], raw_m)
         for c in range(NC):
             for g in range(NCRF):
                 q = 1 + c * NCRF + g
-                sel = (out_q == q) & at_l  # [W,C,8,L]
+                sel = (out_q == q) & at_l  # [W,8,L,C]
                 raw_m = jnp.where(
-                    sel[..., None],
-                    move_src_m(c, g, l_src)[:, :, None, None, :], raw_m)
-    sh_l = jnp.where(is_stay_l, 0,
-                     shift2[:, None, None, None]).astype(jnp.uint32)
-    nb_l = jnp.where(is_stay_l, 0,
-                     nbits_w[:, :, None, None]).astype(jnp.uint32)
-    new_m = _shift_msg(raw_m, sh_l, nb_l)
+                    sel[:, :, None, :, :],
+                    move_src_m(c, g, l_src)[:, None, :, None, :], raw_m)
+    sh_l = jnp.where(is_stay_l, 0, shift2[:, None, None, None]).astype(
+        jnp.uint32)
+    nb_l = jnp.where(is_stay_l, 0, nbits_w[:, None, None, :]).astype(
+        jnp.uint32)
+    new_m = _shift_msg_m(raw_m, sh_l, nb_l)
 
     # --- position 0: stay-only, list slot 0 only (cpp:706-713) -------------
-    ispos0 = (pos_w == 1)[:, None, None, None]
-    slot0 = jnp.arange(L)[None, None, None, :] == 0
-    pos0_sc = jnp.where(slot0, p_sc + stay_tr[None, None, :, None], NEG_INF)
-    new_sc = jnp.where(ispos0, pos0_sc, new_sc)
-    new_h1 = jnp.where(ispos0, p_h1, new_h1)
-    new_h2 = jnp.where(ispos0, p_h2, new_h2)
-    new_m = jnp.where(ispos0[..., None], p_m, new_m)
+    ispos0 = pos_w == 1
+    m0 = ispos0[:, None, None, None]
+    slot0 = l_range[None, None, :, None] == 0
+    pos0_sc = jnp.where(slot0, p_sc + stay_tr[None, :, None, None], NEG_INF)
+    new_sc = jnp.where(m0, pos0_sc, new_sc)
+    new_h1 = jnp.where(m0, p_h1, new_h1)
+    new_h2 = jnp.where(m0, p_h2, new_h2)
+    new_m = jnp.where(ispos0[:, None, None, None, None], p_m, new_m)
 
     # --- masked write-back --------------------------------------------------
-    vmask = consts["valid_state"][pos_w]  # [W,C]
-    wmask = (vmask & active)[:, :, None, None]
+    vmask = consts["valid_state"][pos_w]  # [W, C]
+    wmask = vmask & active  # [W, C]
+    w3 = wmask[:, None, None, :]
 
-    def put(buf, new, extra_dim=False):
+    def put(buf, new, mask):
         cur = slc(buf, start1)
-        m = wmask[..., None] if extra_dim else wmask
         return jax.lax.dynamic_update_slice_in_dim(
-            buf, jnp.where(m, new, cur), start1, axis=0)
+            buf, jnp.where(mask, new, cur), start1, axis=0)
 
-    return (put(stale_sc, new_sc), put(stale_h1, new_h1),
-            put(stale_h2, new_h2), put(stale_m, new_m, True),
+    return (put(stale_sc, new_sc, w3), put(stale_h1, new_h1, w3),
+            put(stale_h2, new_h2, w3),
+            put(stale_m, new_m, wmask[:, None, None, None, :]),
             prev_sc, prev_h1, prev_h2, prev_m), ()
 
 
 def _step_pallas(spec: LVASpec, consts, carry, xs):
     """One block step with the fused Pallas ACS kernel (phase 1) and XLA
-    message materialization (phase 2)."""
+    message materialization (phase 2).
+
+    The kernel currently uses the conv-second layout [P, C, 8, L]; the scan
+    state uses the conv-minor layout, so this path transposes at the
+    boundaries (correctness/testing path; the production XLA path avoids
+    this entirely).
+    """
     from .lva_pallas import acs_step
 
+    carry = _carry_to_conv_second(carry)
     (prev_sc, prev_h1, prev_h2, prev_m,
      stale_sc, stale_h1, stale_h2, stale_m) = carry
     post_t, start, active = xs
@@ -411,19 +433,45 @@ def _step_pallas(spec: LVASpec, consts, carry, xs):
     new_m_w = jnp.where(filled[..., None], shifted, cur_m_w)
     new_m = jax.lax.dynamic_update_slice_in_dim(stale_m, new_m_w, start1,
                                                 axis=0)
-    return (new_sc, new_h1, new_h2, new_m,
-            prev_sc, prev_h1, prev_h2, prev_m), ()
+    return _carry_to_conv_minor(
+        (new_sc, new_h1, new_h2, new_m,
+         prev_sc, prev_h1, prev_h2, prev_m)), ()
+
+
+def _carry_to_conv_second(carry):
+    """[P,8,L,C]->[P,C,8,L] and [P,8,M,L,C]->[P,C,8,L,M] (pallas interop)."""
+    def sc(a):
+        return jnp.transpose(a, (0, 3, 1, 2))
+
+    def mg(a):
+        return jnp.transpose(a, (0, 4, 1, 3, 2))
+
+    a, b, c, d, e, f, g, h = carry
+    return (sc(a), sc(b), sc(c), mg(d), sc(e), sc(f), sc(g), mg(h))
+
+
+def _carry_to_conv_minor(carry):
+    def sc(a):
+        return jnp.transpose(a, (0, 2, 3, 1))
+
+    def mg(a):
+        return jnp.transpose(a, (0, 2, 4, 3, 1))
+
+    a, b, c, d, e, f, g, h = carry
+    return (sc(a), sc(b), sc(c), mg(d), sc(e), sc(f), sc(g), mg(h))
 
 
 def _init_buffers(spec: LVASpec):
+    """State buffers, conv-minor TPU layout: scores/hashes [P, 8, L, C],
+    messages [P, 8, M, L, C]."""
     C, L, M = spec.code.nstate_conv, spec.list_size, spec.n_msg_words
     P = spec.npos_pad
-    sc = jnp.full((P, C, NCRF, L), NEG_INF, jnp.float32)
+    sc = jnp.full((P, NCRF, L, C), NEG_INF, jnp.float32)
     # pos 0 lives at padded index 1 (index 0 is the ghost row for pos -1)
-    sc = sc.at[1, spec.code.initial_state, :, 0].set(0.0)
-    h = jnp.zeros((P, C, NCRF, L), jnp.uint32)
-    m = jnp.zeros((P, C, NCRF, L, M), jnp.uint32)
-    other_sc = jnp.full((P, C, NCRF, L), NEG_INF, jnp.float32)
+    sc = sc.at[1, :, 0, spec.code.initial_state].set(0.0)
+    h = jnp.zeros((P, NCRF, L, C), jnp.uint32)
+    m = jnp.zeros((P, NCRF, M, L, C), jnp.uint32)
+    other_sc = jnp.full((P, NCRF, L, C), NEG_INF, jnp.float32)
     return (sc, h, h, m, other_sc, jnp.zeros_like(h), jnp.zeros_like(h),
             jnp.zeros_like(m))
 
@@ -443,11 +491,11 @@ def _decode_single(spec: LVASpec, consts, post, starts, nblk):
     fin_sc = jnp.where(same, carry[0], carry[4])
     fin_m = jnp.where(same, carry[3], carry[7])
     last_pos = spec.code.nstate_pos - 1 + 1  # +1 ghost offset
-    sc = fin_sc[last_pos, spec.code.final_state]  # [8, L]
-    m = fin_m[last_pos, spec.code.final_state]  # [8, L, M]
+    sc = fin_sc[last_pos, :, :, spec.code.final_state]  # [8, L]
+    m = fin_m[last_pos, :, :, :, spec.code.final_state]  # [8, M, L]
     # collect in (crf, list) order, sort by score desc, truncate to L
     flat_sc = sc.reshape(-1)
-    flat_m = m.reshape(-1, spec.n_msg_words)
+    flat_m = jnp.transpose(m, (0, 2, 1)).reshape(-1, spec.n_msg_words)
     order = jnp.argsort(-flat_sc, stable=True)[: spec.list_size]
     return flat_sc[order], flat_m[order]
 
