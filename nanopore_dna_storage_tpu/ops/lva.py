@@ -230,24 +230,30 @@ def _step(spec: LVASpec, consts, carry, xs):
     q_range = jnp.arange(NQ)
     l_range = jnp.arange(L)
 
+    def slc_l(a, l):
+        """a[..., l, :] with a traced slot index (keeps HLO small)."""
+        idx = (0,) * (a.ndim - 2) + (l, 0)
+        sizes = a.shape[:-2] + (1, a.shape[-1])
+        return jax.lax.dynamic_slice(a, idx, sizes).squeeze(-2)
+
     def cand_at(l):
-        """Per-pred candidate tuple at list slot l: ([W,8f,NQ,C] score,
-        hash1, hash2); move hashes already shift-updated."""
-        stay_s = p_sc[:, :, l, :] + stay_tr[None, :, None]  # [W,8,C]
-        move_s = src[:, :, :, l, :].reshape(W, 1, NQ - 1, C) + mtr_flat
+        """Per-pred candidate tuple at list slot l (traced): ([W,8f,NQ,C]
+        score, hash1, hash2); move hashes already shift-updated."""
+        stay_s = slc_l(p_sc, l) + stay_tr[None, :, None]  # [W,8,C]
+        move_s = slc_l(src, l).reshape(W, 1, NQ - 1, C) + mtr_flat
         sc = jnp.concatenate([stay_s[:, :, None, :], move_s], axis=2)
-        mh1 = _hash_update(srch1[:, :, :, l, :],
+        mh1 = _hash_update(slc_l(srch1, l),
                            shift2[:, None, None, None],
                            nbits_w[:, None, None, :], HASH_P1)
-        mh2 = _hash_update(srch2[:, :, :, l, :],
+        mh2 = _hash_update(slc_l(srch2, l),
                            shift2[:, None, None, None],
                            nbits_w[:, None, None, :], HASH_P2)
         h1 = jnp.concatenate(
-            [p_h1[:, :, l, :][:, :, None, :],
+            [slc_l(p_h1, l)[:, :, None, :],
              jnp.broadcast_to(mh1.reshape(W, 1, NQ - 1, C),
                               (W, NCRF, NQ - 1, C))], axis=2)
         h2 = jnp.concatenate(
-            [p_h2[:, :, l, :][:, :, None, :],
+            [slc_l(p_h2, l)[:, :, None, :],
              jnp.broadcast_to(mh2.reshape(W, 1, NQ - 1, C),
                               (W, NCRF, NQ - 1, C))], axis=2)
         return sc, h1, h2
@@ -293,12 +299,19 @@ def _step(spec: LVASpec, consts, carry, xs):
         new_head_h1 = head_h1
         new_head_h2 = head_h2
         pl = jnp.clip(ptr, 0, L - 1)
-        for l in range(1, L):  # refreshed heads always have ptr >= 1
+
+        def refresh(l, hs):
+            nsc, nh1, nh2 = hs
             at = adv & (pl == l)
             c_sc, c_h1, c_h2 = cand_at(l)
-            new_head_sc = jnp.where(at & ~exhausted, c_sc, new_head_sc)
-            new_head_h1 = jnp.where(at, c_h1, new_head_h1)
-            new_head_h2 = jnp.where(at, c_h2, new_head_h2)
+            nsc = jnp.where(at & ~exhausted, c_sc, nsc)
+            nh1 = jnp.where(at, c_h1, nh1)
+            nh2 = jnp.where(at, c_h2, nh2)
+            return nsc, nh1, nh2
+
+        # refreshed heads always have ptr >= 1
+        new_head_sc, new_head_h1, new_head_h2 = jax.lax.fori_loop(
+            1, L, refresh, (new_head_sc, new_head_h1, new_head_h2))
         return (new_head_sc, new_head_h1, new_head_h2, ptr, out_sc,
                 out_h1, out_h2, out_q, out_lp, acc)
 
@@ -323,11 +336,19 @@ def _step(spec: LVASpec, consts, carry, xs):
     pm1_m = slc(prev_m, start1 - 1)
 
     def move_src_m(c, g, l):
-        """Message words of move predecessor (c, g) at slot l: [W, M, C]."""
-        v = pm1_m[:, g, :, l, :]  # [W,M,C]
-        v2 = jnp.tile(v.reshape(W, M, C // 2, 2)[..., c % 2], (1, 1, 2))
-        v4 = jnp.tile(v.reshape(W, M, C // 4, 4)[..., c], (1, 1, 4))
-        return jnp.where(is1[:, None, None], v2, v4)
+        """Message words of move predecessor (c, g) at slot l (all traced
+        indices): [W, M, C]."""
+        v = jax.lax.dynamic_slice(
+            pm1_m, (0, g, 0, l, 0), (W, 1, M, 1, C)).reshape(W, M, C)
+        v2 = jax.lax.dynamic_slice(
+            v.reshape(W, M, C // 2, 2), (0, 0, 0, c % 2),
+            (W, M, C // 2, 1)).squeeze(-1)
+        v4 = jax.lax.dynamic_slice(
+            v.reshape(W, M, C // 4, 4), (0, 0, 0, jnp.clip(c, 0, 3)),
+            (W, M, C // 4, 1)).squeeze(-1)
+        sel = jnp.where(is1[:, None, None], jnp.tile(v2, (1, 1, 2)),
+                        jnp.tile(v4, (1, 1, 4)))
+        return sel
 
     is_stay_l = out_q == 0  # [W,8,L,C]
     lp = jnp.clip(out_lp, 0, L - 1)
@@ -336,13 +357,19 @@ def _step(spec: LVASpec, consts, carry, xs):
         at_l = lp == l_src
         raw_m = jnp.where((is_stay_l & at_l)[:, :, None, :, :],
                           p_m[:, :, :, l_src, :][:, :, :, None, :], raw_m)
-        for c in range(NC):
-            for g in range(NCRF):
-                q = 1 + c * NCRF + g
-                sel = (out_q == q) & at_l  # [W,8,L,C]
-                raw_m = jnp.where(
-                    sel[:, :, None, :, :],
-                    move_src_m(c, g, l_src)[:, None, :, None, :], raw_m)
+
+    def sel_move(i, acc_m):
+        """i ranges over (l_src, c, g); masked-accumulate that source."""
+        l_src = i // (NQ - 1)
+        cg = i % (NQ - 1)
+        c = cg // NCRF
+        g = cg % NCRF
+        q = 1 + cg
+        sel = (out_q == q) & (lp == l_src)  # [W,8,L,C]
+        return jnp.where(sel[:, :, None, :, :],
+                         move_src_m(c, g, l_src)[:, None, :, None, :], acc_m)
+
+    raw_m = jax.lax.fori_loop(0, L * (NQ - 1), sel_move, raw_m)
     sh_l = jnp.where(is_stay_l, 0, shift2[:, None, None, None]).astype(
         jnp.uint32)
     nb_l = jnp.where(is_stay_l, 0, nbits_w[:, None, None, :]).astype(
