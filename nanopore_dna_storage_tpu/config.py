@@ -68,6 +68,10 @@ class DecodeConfig:
     # kernel); "pallas_interpret" runs the kernel in interpreter mode (CPU
     # testing).
     backend: str = "xla"
+    # Process the beam window in this many sequential chunks per block —
+    # bounds the size of any single fused TPU computation (auto-clamped to a
+    # divisor of the window).
+    window_chunks: int = 1
 
     def __post_init__(self):
         if self.path_combine not in ("max", "logsumexp"):

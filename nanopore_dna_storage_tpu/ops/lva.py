@@ -68,6 +68,7 @@ class LVASpec:
     n_msg_words: int
     combine_lse: bool = False  # logsumexp duplicate-path combining
     backend: str = "xla"
+    window_chunks: int = 1
 
     @classmethod
     def build(cls, cfg: DecodeConfig) -> Tuple["LVASpec", tb.TrellisTables]:
@@ -84,6 +85,9 @@ class LVASpec:
             n_msg_words=msg_words(code),
             combine_lse=cfg.path_combine == "logsumexp",
             backend=cfg.backend,
+            window_chunks=next(
+                n for n in range(min(cfg.window_chunks, tabs.window), 0, -1)
+                if tabs.window % n == 0),
         ), tabs
 
 
@@ -174,232 +178,243 @@ def _step(spec: LVASpec, consts, carry, xs):
     State layout is TPU-native: the conv axis (a multiple of 128) is minor
     everywhere, so XLA's (8, 128) tiling pads nothing. Buffers:
     scores/hashes [P, 8crf, L, C]; messages [P, 8crf, M, L, C].
+
+    The window is processed in spec.window_chunks sequential chunks (the
+    chunks read only previous-step buffers, so they are independent); this
+    bounds the size of any single fused computation on TPU.
     """
     (prev_sc, prev_h1, prev_h2, prev_m,
      stale_sc, stale_h1, stale_h2, stale_m) = carry
     post_t, start, active = xs  # [5,8] f32, scalar int32, scalar bool
     C = spec.code.nstate_conv
-    W, L, M = spec.window, spec.list_size, spec.n_msg_words
+    L, M = spec.list_size, spec.n_msg_words
+    n_ch = spec.window_chunks
+    W = spec.window // n_ch
     postf = post_t.reshape(-1)  # [40]
+    bufs = (stale_sc, stale_h1, stale_h2, stale_m)
 
-    start1 = start + 1  # account for the leading ghost row
-    pos_w = start1 + jnp.arange(W)
+    def update_chunk(start1, bufs):
+        stale_sc, stale_h1, stale_h2, stale_m = bufs
+        pos_w = start1 + jnp.arange(W)
 
-    def slc(a, s0):
-        return jax.lax.dynamic_slice_in_dim(a, s0, W, axis=0)
+        def slc(a, s0):
+            return jax.lax.dynamic_slice_in_dim(a, s0, W, axis=0)
 
-    p_sc = slc(prev_sc, start1)  # [W,8,L,C] stay sources
-    p_h1 = slc(prev_h1, start1)
-    p_h2 = slc(prev_h2, start1)
-    pm1_sc = slc(prev_sc, start1 - 1)  # move sources (previous position)
-    pm1_h1 = slc(prev_h1, start1 - 1)
-    pm1_h2 = slc(prev_h2, start1 - 1)
+        p_sc = slc(prev_sc, start1)  # [W,8,L,C] stay sources
+        p_h1 = slc(prev_h1, start1)
+        p_h2 = slc(prev_h2, start1)
+        pm1_sc = slc(prev_sc, start1 - 1)  # move sources (previous position)
+        pm1_h1 = slc(prev_h1, start1 - 1)
+        pm1_h2 = slc(prev_h2, start1 - 1)
 
-    pat_w = consts["pattern_of_pos"][pos_w]  # [W]
-    is1 = pat_w == 0
+        pat_w = consts["pattern_of_pos"][pos_w]  # [W]
+        is1 = pat_w == 0
 
-    def expand(a, fill):
-        """[W, 8g, L, C] -> [W, NC, 8g, L, C] move-candidate lists."""
-        e2 = jnp.moveaxis(_expand_minor(a, 2, C), -2, 1)  # [W,2,8,L,C]
-        e4 = jnp.moveaxis(_expand_minor(a, 4, C), -2, 1)  # [W,4,8,L,C]
-        e2 = jnp.concatenate([e2, jnp.full_like(e2, fill)], axis=1)
-        return jnp.where(is1[:, None, None, None, None], e2, e4)
+        def expand(a, fill):
+            """[W, 8g, L, C] -> [W, NC, 8g, L, C] move-candidate lists."""
+            e2 = jnp.moveaxis(_expand_minor(a, 2, C), -2, 1)  # [W,2,8,L,C]
+            e4 = jnp.moveaxis(_expand_minor(a, 4, C), -2, 1)  # [W,4,8,L,C]
+            e2 = jnp.concatenate([e2, jnp.full_like(e2, fill)], axis=1)
+            return jnp.where(is1[:, None, None, None, None], e2, e4)
 
-    src = expand(pm1_sc, NEG_INF)  # [W,4c,8g,L,C]
-    srch1 = expand(pm1_h1, jnp.uint32(0))
-    srch2 = expand(pm1_h2, jnp.uint32(0))
+        src = expand(pm1_sc, NEG_INF)  # [W,4c,8g,L,C]
+        srch1 = expand(pm1_h1, jnp.uint32(0))
+        srch2 = expand(pm1_h2, jnp.uint32(0))
 
-    # --- transition scores and validity ------------------------------------
-    stay_tr = postf[consts["stay_idx"]]  # [8]
-    move_tr = postf[consts["move_idx"]]  # [f, g]
-    bo = consts["base_out_cmin"][pat_w]  # [W, NC, C] emitted base per (c, s)
-    f_ids = jnp.arange(NCRF, dtype=jnp.int32)
-    base_match = bo[:, None, :, :] == (f_ids % 4)[None, :, None, None]
-    c_valid = jnp.arange(NC)[None, :] < jnp.where(is1, 2, 4)[:, None]
-    mvalid = base_match & c_valid[:, None, :, None] \
-        & (pos_w > 1)[:, None, None, None]  # [W,8f,4c,C]
-    mtr = jnp.where(
-        mvalid[:, :, :, None, :] & consts["crf_mask"][None, :, None, :, None],
-        move_tr[None, :, None, :, None], NEG_INF)  # [W,8f,4c,8g,C]
-    mtr_flat = mtr.reshape(W, NCRF, NQ - 1, C)
+        # --- transition scores and validity ------------------------------------
+        stay_tr = postf[consts["stay_idx"]]  # [8]
+        move_tr = postf[consts["move_idx"]]  # [f, g]
+        bo = consts["base_out_cmin"][pat_w]  # [W, NC, C] emitted base per (c, s)
+        f_ids = jnp.arange(NCRF, dtype=jnp.int32)
+        base_match = bo[:, None, :, :] == (f_ids % 4)[None, :, None, None]
+        c_valid = jnp.arange(NC)[None, :] < jnp.where(is1, 2, 4)[:, None]
+        mvalid = base_match & c_valid[:, None, :, None] \
+            & (pos_w > 1)[:, None, None, None]  # [W,8f,4c,C]
+        mtr = jnp.where(
+            mvalid[:, :, :, None, :] & consts["crf_mask"][None, :, None, :, None],
+            move_tr[None, :, None, :, None], NEG_INF)  # [W,8f,4c,8g,C]
+        mtr_flat = mtr.reshape(W, NCRF, NQ - 1, C)
 
-    shift2 = jnp.where(is1, 1, 2).astype(jnp.uint32)  # [W]
-    nbits_w = jnp.where(is1[:, None], consts["newbits1"][None, :],
-                        consts["newbits2"][None, :])  # [W, C]
+        shift2 = jnp.where(is1, 1, 2).astype(jnp.uint32)  # [W]
+        nbits_w = jnp.where(is1[:, None], consts["newbits1"][None, :],
+                            consts["newbits2"][None, :])  # [W, C]
 
-    q_range = jnp.arange(NQ)
-    l_range = jnp.arange(L)
+        q_range = jnp.arange(NQ)
+        l_range = jnp.arange(L)
 
-    def slc_l(a, l):
-        """a[..., l, :] with a traced slot index (keeps HLO small)."""
-        idx = (0,) * (a.ndim - 2) + (l, 0)
-        sizes = a.shape[:-2] + (1, a.shape[-1])
-        return jax.lax.dynamic_slice(a, idx, sizes).squeeze(-2)
+        def slc_l(a, l):
+            """a[..., l, :] with a traced slot index (keeps HLO small)."""
+            idx = (0,) * (a.ndim - 2) + (l, 0)
+            sizes = a.shape[:-2] + (1, a.shape[-1])
+            return jax.lax.dynamic_slice(a, idx, sizes).squeeze(-2)
 
-    def cand_at(l):
-        """Per-pred candidate tuple at list slot l (traced): ([W,8f,NQ,C]
-        score, hash1, hash2); move hashes already shift-updated."""
-        stay_s = slc_l(p_sc, l) + stay_tr[None, :, None]  # [W,8,C]
-        move_s = slc_l(src, l).reshape(W, 1, NQ - 1, C) + mtr_flat
-        sc = jnp.concatenate([stay_s[:, :, None, :], move_s], axis=2)
-        mh1 = _hash_update(slc_l(srch1, l),
-                           shift2[:, None, None, None],
-                           nbits_w[:, None, None, :], HASH_P1)
-        mh2 = _hash_update(slc_l(srch2, l),
-                           shift2[:, None, None, None],
-                           nbits_w[:, None, None, :], HASH_P2)
-        h1 = jnp.concatenate(
-            [slc_l(p_h1, l)[:, :, None, :],
-             jnp.broadcast_to(mh1.reshape(W, 1, NQ - 1, C),
-                              (W, NCRF, NQ - 1, C))], axis=2)
-        h2 = jnp.concatenate(
-            [slc_l(p_h2, l)[:, :, None, :],
-             jnp.broadcast_to(mh2.reshape(W, 1, NQ - 1, C),
-                              (W, NCRF, NQ - 1, C))], axis=2)
-        return sc, h1, h2
+        def cand_at(l):
+            """Per-pred candidate tuple at list slot l (traced): ([W,8f,NQ,C]
+            score, hash1, hash2); move hashes already shift-updated."""
+            stay_s = slc_l(p_sc, l) + stay_tr[None, :, None]  # [W,8,C]
+            move_s = slc_l(src, l).reshape(W, 1, NQ - 1, C) + mtr_flat
+            sc = jnp.concatenate([stay_s[:, :, None, :], move_s], axis=2)
+            mh1 = _hash_update(slc_l(srch1, l),
+                               shift2[:, None, None, None],
+                               nbits_w[:, None, None, :], HASH_P1)
+            mh2 = _hash_update(slc_l(srch2, l),
+                               shift2[:, None, None, None],
+                               nbits_w[:, None, None, :], HASH_P2)
+            h1 = jnp.concatenate(
+                [slc_l(p_h1, l)[:, :, None, :],
+                 jnp.broadcast_to(mh1.reshape(W, 1, NQ - 1, C),
+                                  (W, NCRF, NQ - 1, C))], axis=2)
+            h2 = jnp.concatenate(
+                [slc_l(p_h2, l)[:, :, None, :],
+                 jnp.broadcast_to(mh2.reshape(W, 1, NQ - 1, C),
+                                  (W, NCRF, NQ - 1, C))], axis=2)
+            return sc, h1, h2
 
-    def round_body(_, st):
-        (head_sc, head_h1, head_h2, ptr, out_sc, out_h1, out_h2,
-         out_q, out_lp, acc) = st
-        qstar = jnp.argmax(head_sc, axis=2)  # [W,8,C]
-        oh_q = qstar[:, :, None, :] == q_range[None, None, :, None]
-        hstar = jnp.max(head_sc, axis=2)
-        ok = hstar > NEG_INF
-        ch1 = jnp.where(oh_q, head_h1, 0).sum(2).astype(jnp.uint32)
-        ch2 = jnp.where(oh_q, head_h2, 0).sum(2).astype(jnp.uint32)
-        ptr_star = jnp.where(oh_q, ptr, 0).sum(2)
-        lidx = jnp.clip(ptr_star, 0, L - 1)
+        def round_body(_, st):
+            (head_sc, head_h1, head_h2, ptr, out_sc, out_h1, out_h2,
+             out_q, out_lp, acc) = st
+            qstar = jnp.argmax(head_sc, axis=2)  # [W,8,C]
+            oh_q = qstar[:, :, None, :] == q_range[None, None, :, None]
+            hstar = jnp.max(head_sc, axis=2)
+            ok = hstar > NEG_INF
+            ch1 = jnp.where(oh_q, head_h1, 0).sum(2).astype(jnp.uint32)
+            ch2 = jnp.where(oh_q, head_h2, 0).sum(2).astype(jnp.uint32)
+            ptr_star = jnp.where(oh_q, ptr, 0).sum(2)
+            lidx = jnp.clip(ptr_star, 0, L - 1)
 
-        # dedup against accepted candidates
-        eq = (out_h1 == ch1[:, :, None, :]) & (out_h2 == ch2[:, :, None, :])
-        eq = eq & (l_range[None, None, :, None] < acc[:, :, None, :])
-        seen = eq.any(2)
-        if spec.combine_lse:
-            # accumulate duplicate-path probability mass into the accepted
-            # slot instead of discarding (extra/viterbi_nanopore.cpp:883-888)
-            out_sc = jnp.where(eq & ok[:, :, None, :],
-                               jnp.logaddexp(out_sc, hstar[:, :, None, :]),
-                               out_sc)
+            # dedup against accepted candidates
+            eq = (out_h1 == ch1[:, :, None, :]) & (out_h2 == ch2[:, :, None, :])
+            eq = eq & (l_range[None, None, :, None] < acc[:, :, None, :])
+            seen = eq.any(2)
+            if spec.combine_lse:
+                # accumulate duplicate-path probability mass into the accepted
+                # slot instead of discarding (extra/viterbi_nanopore.cpp:883-888)
+                out_sc = jnp.where(eq & ok[:, :, None, :],
+                                   jnp.logaddexp(out_sc, hstar[:, :, None, :]),
+                                   out_sc)
 
-        accept = ok & ~seen & (acc < L)
-        onehot = (l_range[None, None, :, None] == acc[:, :, None, :]) & \
-            accept[:, :, None, :]
-        out_sc = jnp.where(onehot, hstar[:, :, None, :], out_sc)
-        out_h1 = jnp.where(onehot, ch1[:, :, None, :], out_h1)
-        out_h2 = jnp.where(onehot, ch2[:, :, None, :], out_h2)
-        out_q = jnp.where(onehot, qstar[:, :, None, :], out_q)
-        out_lp = jnp.where(onehot, lidx[:, :, None, :], out_lp)
-        acc = acc + accept.astype(jnp.int32)
+            accept = ok & ~seen & (acc < L)
+            onehot = (l_range[None, None, :, None] == acc[:, :, None, :]) & \
+                accept[:, :, None, :]
+            out_sc = jnp.where(onehot, hstar[:, :, None, :], out_sc)
+            out_h1 = jnp.where(onehot, ch1[:, :, None, :], out_h1)
+            out_h2 = jnp.where(onehot, ch2[:, :, None, :], out_h2)
+            out_q = jnp.where(onehot, qstar[:, :, None, :], out_q)
+            out_lp = jnp.where(onehot, lidx[:, :, None, :], out_lp)
+            acc = acc + accept.astype(jnp.int32)
 
-        # advance the winner's pointer and refresh its head
-        adv = oh_q & ok[:, :, None, :]
-        ptr = ptr + adv.astype(jnp.int32)
-        exhausted = ptr >= L
-        new_head_sc = jnp.where(exhausted, NEG_INF, head_sc)
-        new_head_h1 = head_h1
-        new_head_h2 = head_h2
-        pl = jnp.clip(ptr, 0, L - 1)
+            # advance the winner's pointer and refresh its head
+            adv = oh_q & ok[:, :, None, :]
+            ptr = ptr + adv.astype(jnp.int32)
+            exhausted = ptr >= L
+            new_head_sc = jnp.where(exhausted, NEG_INF, head_sc)
+            new_head_h1 = head_h1
+            new_head_h2 = head_h2
+            pl = jnp.clip(ptr, 0, L - 1)
 
-        def refresh(l, hs):
-            nsc, nh1, nh2 = hs
-            at = adv & (pl == l)
-            c_sc, c_h1, c_h2 = cand_at(l)
-            nsc = jnp.where(at & ~exhausted, c_sc, nsc)
-            nh1 = jnp.where(at, c_h1, nh1)
-            nh2 = jnp.where(at, c_h2, nh2)
-            return nsc, nh1, nh2
+            def refresh(l, hs):
+                nsc, nh1, nh2 = hs
+                at = adv & (pl == l)
+                c_sc, c_h1, c_h2 = cand_at(l)
+                nsc = jnp.where(at & ~exhausted, c_sc, nsc)
+                nh1 = jnp.where(at, c_h1, nh1)
+                nh2 = jnp.where(at, c_h2, nh2)
+                return nsc, nh1, nh2
 
-        # refreshed heads always have ptr >= 1
-        new_head_sc, new_head_h1, new_head_h2 = jax.lax.fori_loop(
-            1, L, refresh, (new_head_sc, new_head_h1, new_head_h2))
-        return (new_head_sc, new_head_h1, new_head_h2, ptr, out_sc,
-                out_h1, out_h2, out_q, out_lp, acc)
+            # refreshed heads always have ptr >= 1
+            new_head_sc, new_head_h1, new_head_h2 = jax.lax.fori_loop(
+                1, L, refresh, (new_head_sc, new_head_h1, new_head_h2))
+            return (new_head_sc, new_head_h1, new_head_h2, ptr, out_sc,
+                    out_h1, out_h2, out_q, out_lp, acc)
 
-    init_head_sc, init_head_h1, init_head_h2 = cand_at(0)
-    init = (
-        init_head_sc, init_head_h1, init_head_h2,
-        jnp.zeros((W, NCRF, NQ, C), jnp.int32),
-        jnp.full((W, NCRF, L, C), NEG_INF, jnp.float32),
-        jnp.zeros((W, NCRF, L, C), jnp.uint32),
-        jnp.zeros((W, NCRF, L, C), jnp.uint32),
-        jnp.zeros((W, NCRF, L, C), jnp.int32),
-        jnp.zeros((W, NCRF, L, C), jnp.int32),
-        jnp.zeros((W, NCRF, C), jnp.int32),
-    )
-    (_, _, _, _, new_sc, new_h1, new_h2, out_q, out_lp, _) = \
-        jax.lax.fori_loop(0, spec.merge_rounds, round_body, init)
+        init_head_sc, init_head_h1, init_head_h2 = cand_at(0)
+        init = (
+            init_head_sc, init_head_h1, init_head_h2,
+            jnp.zeros((W, NCRF, NQ, C), jnp.int32),
+            jnp.full((W, NCRF, L, C), NEG_INF, jnp.float32),
+            jnp.zeros((W, NCRF, L, C), jnp.uint32),
+            jnp.zeros((W, NCRF, L, C), jnp.uint32),
+            jnp.zeros((W, NCRF, L, C), jnp.int32),
+            jnp.zeros((W, NCRF, L, C), jnp.int32),
+            jnp.zeros((W, NCRF, C), jnp.int32),
+        )
+        (_, _, _, _, new_sc, new_h1, new_h2, out_q, out_lp, _) = \
+            jax.lax.fori_loop(0, spec.merge_rounds, round_body, init)
 
-    # --- materialize messages from the winning selections -------------------
-    # Masked accumulation over (pred, source slot) — no data-dependent
-    # gathers (XLA:TPU lowers those serially).
-    p_m = slc(prev_m, start1)  # [W,8,M,L,C]
-    pm1_m = slc(prev_m, start1 - 1)
+        # --- materialize messages from the winning selections -------------------
+        # Masked accumulation over (pred, source slot) — no data-dependent
+        # gathers (XLA:TPU lowers those serially).
+        p_m = slc(prev_m, start1)  # [W,8,M,L,C]
+        pm1_m = slc(prev_m, start1 - 1)
 
-    def move_src_m(c, g, l):
-        """Message words of move predecessor (c, g) at slot l (all traced
-        indices): [W, M, C]."""
-        v = jax.lax.dynamic_slice(
-            pm1_m, (0, g, 0, l, 0), (W, 1, M, 1, C)).reshape(W, M, C)
-        v2 = jax.lax.dynamic_slice(
-            v.reshape(W, M, C // 2, 2), (0, 0, 0, c % 2),
-            (W, M, C // 2, 1)).squeeze(-1)
-        v4 = jax.lax.dynamic_slice(
-            v.reshape(W, M, C // 4, 4), (0, 0, 0, jnp.clip(c, 0, 3)),
-            (W, M, C // 4, 1)).squeeze(-1)
-        sel = jnp.where(is1[:, None, None], jnp.tile(v2, (1, 1, 2)),
-                        jnp.tile(v4, (1, 1, 4)))
-        return sel
+        def move_src_m(c, g, l):
+            """Message words of move predecessor (c, g) at slot l (all traced
+            indices): [W, M, C]."""
+            v = jax.lax.dynamic_slice(
+                pm1_m, (0, g, 0, l, 0), (W, 1, M, 1, C)).reshape(W, M, C)
+            v2 = jax.lax.dynamic_slice(
+                v.reshape(W, M, C // 2, 2), (0, 0, 0, c % 2),
+                (W, M, C // 2, 1)).squeeze(-1)
+            v4 = jax.lax.dynamic_slice(
+                v.reshape(W, M, C // 4, 4), (0, 0, 0, jnp.clip(c, 0, 3)),
+                (W, M, C // 4, 1)).squeeze(-1)
+            sel = jnp.where(is1[:, None, None], jnp.tile(v2, (1, 1, 2)),
+                            jnp.tile(v4, (1, 1, 4)))
+            return sel
 
-    is_stay_l = out_q == 0  # [W,8,L,C]
-    lp = jnp.clip(out_lp, 0, L - 1)
-    raw_m = jnp.zeros((W, NCRF, M, L, C), jnp.uint32)
-    for l_src in range(L):
-        at_l = lp == l_src
-        raw_m = jnp.where((is_stay_l & at_l)[:, :, None, :, :],
-                          p_m[:, :, :, l_src, :][:, :, :, None, :], raw_m)
+        is_stay_l = out_q == 0  # [W,8,L,C]
+        lp = jnp.clip(out_lp, 0, L - 1)
+        raw_m = jnp.zeros((W, NCRF, M, L, C), jnp.uint32)
+        for l_src in range(L):
+            at_l = lp == l_src
+            raw_m = jnp.where((is_stay_l & at_l)[:, :, None, :, :],
+                              p_m[:, :, :, l_src, :][:, :, :, None, :], raw_m)
 
-    def sel_move(i, acc_m):
-        """i ranges over (l_src, c, g); masked-accumulate that source."""
-        l_src = i // (NQ - 1)
-        cg = i % (NQ - 1)
-        c = cg // NCRF
-        g = cg % NCRF
-        q = 1 + cg
-        sel = (out_q == q) & (lp == l_src)  # [W,8,L,C]
-        return jnp.where(sel[:, :, None, :, :],
-                         move_src_m(c, g, l_src)[:, None, :, None, :], acc_m)
+        def sel_move(i, acc_m):
+            """i ranges over (l_src, c, g); masked-accumulate that source."""
+            l_src = i // (NQ - 1)
+            cg = i % (NQ - 1)
+            c = cg // NCRF
+            g = cg % NCRF
+            q = 1 + cg
+            sel = (out_q == q) & (lp == l_src)  # [W,8,L,C]
+            return jnp.where(sel[:, :, None, :, :],
+                             move_src_m(c, g, l_src)[:, None, :, None, :], acc_m)
 
-    raw_m = jax.lax.fori_loop(0, L * (NQ - 1), sel_move, raw_m)
-    sh_l = jnp.where(is_stay_l, 0, shift2[:, None, None, None]).astype(
-        jnp.uint32)
-    nb_l = jnp.where(is_stay_l, 0, nbits_w[:, None, None, :]).astype(
-        jnp.uint32)
-    new_m = _shift_msg_m(raw_m, sh_l, nb_l)
+        raw_m = jax.lax.fori_loop(0, L * (NQ - 1), sel_move, raw_m)
+        sh_l = jnp.where(is_stay_l, 0, shift2[:, None, None, None]).astype(
+            jnp.uint32)
+        nb_l = jnp.where(is_stay_l, 0, nbits_w[:, None, None, :]).astype(
+            jnp.uint32)
+        new_m = _shift_msg_m(raw_m, sh_l, nb_l)
 
-    # --- position 0: stay-only, list slot 0 only (cpp:706-713) -------------
-    ispos0 = pos_w == 1
-    m0 = ispos0[:, None, None, None]
-    slot0 = l_range[None, None, :, None] == 0
-    pos0_sc = jnp.where(slot0, p_sc + stay_tr[None, :, None, None], NEG_INF)
-    new_sc = jnp.where(m0, pos0_sc, new_sc)
-    new_h1 = jnp.where(m0, p_h1, new_h1)
-    new_h2 = jnp.where(m0, p_h2, new_h2)
-    new_m = jnp.where(ispos0[:, None, None, None, None], p_m, new_m)
+        # --- position 0: stay-only, list slot 0 only (cpp:706-713) -------------
+        ispos0 = pos_w == 1
+        m0 = ispos0[:, None, None, None]
+        slot0 = l_range[None, None, :, None] == 0
+        pos0_sc = jnp.where(slot0, p_sc + stay_tr[None, :, None, None], NEG_INF)
+        new_sc = jnp.where(m0, pos0_sc, new_sc)
+        new_h1 = jnp.where(m0, p_h1, new_h1)
+        new_h2 = jnp.where(m0, p_h2, new_h2)
+        new_m = jnp.where(ispos0[:, None, None, None, None], p_m, new_m)
 
-    # --- masked write-back --------------------------------------------------
-    vmask = consts["valid_state"][pos_w]  # [W, C]
-    wmask = vmask & active  # [W, C]
-    w3 = wmask[:, None, None, :]
+        # --- masked write-back --------------------------------------------------
+        vmask = consts["valid_state"][pos_w]  # [W, C]
+        wmask = vmask & active  # [W, C]
+        w3 = wmask[:, None, None, :]
 
-    def put(buf, new, mask):
-        cur = slc(buf, start1)
-        return jax.lax.dynamic_update_slice_in_dim(
-            buf, jnp.where(mask, new, cur), start1, axis=0)
+        def put(buf, new, mask):
+            cur = slc(buf, start1)
+            return jax.lax.dynamic_update_slice_in_dim(
+                buf, jnp.where(mask, new, cur), start1, axis=0)
 
-    return (put(stale_sc, new_sc, w3), put(stale_h1, new_h1, w3),
-            put(stale_h2, new_h2, w3),
-            put(stale_m, new_m, wmask[:, None, None, None, :]),
-            prev_sc, prev_h1, prev_h2, prev_m), ()
+        return (put(stale_sc, new_sc, w3), put(stale_h1, new_h1, w3),
+                put(stale_h2, new_h2, w3),
+                put(stale_m, new_m, wmask[:, None, None, None, :]))
+
+    for ci in range(n_ch):
+        bufs = update_chunk(start + 1 + ci * W, bufs)
+    return bufs + (prev_sc, prev_h1, prev_h2, prev_m), ()
 
 
 def _step_pallas(spec: LVASpec, consts, carry, xs):
