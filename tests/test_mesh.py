@@ -1,0 +1,49 @@
+"""Sharded data-parallel decode on the 8-device CPU mesh: results must match
+the single-device decoder, and the on-device CRC/index classification must
+match the host-side framing check."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+
+@pytest.mark.slow
+def test_sharded_decoder_matches_single_device():
+    from nanopore_dna_storage_tpu.config import ExperimentConfig
+    from nanopore_dna_storage_tpu.pipeline.encode import encode_bytes
+    from nanopore_dna_storage_tpu.pipeline.simulate import simulate_posts
+    from nanopore_dna_storage_tpu.pipeline.decode import PipelineDecoder
+    from nanopore_dna_storage_tpu.parallel.mesh import ShardedDecoder, data_mesh
+    from nanopore_dna_storage_tpu.io.post import pack_posts
+    from nanopore_dna_storage_tpu.coding.framing import check_and_extract
+
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    exp = ExperimentConfig(bytes_per_oligo=4, rs_redundancy=0.5,
+                           conv_mem=6, conv_rate=1)
+    enc = encode_bytes(bytes(range(16)), exp)
+    rng = np.random.default_rng(1)
+    posts, rcs, _ = simulate_posts(enc.oligos, 8, rng, sub_prob=0.002,
+                                   del_prob=0.002, ins_prob=0.0)
+    batch, nblks = pack_posts(posts, bucket=32)
+    total = enc.num_oligos_data + enc.num_oligos_rs
+
+    sel = np.nonzero(~rcs)[0]
+    if len(sel) < 2:
+        sel = np.arange(4)
+    mesh = data_mesh()
+    sharded = ShardedDecoder(exp, list_size=2, rc=False, max_deviation=None,
+                             mesh=mesh)
+    res = sharded.decode(batch[sel], nblks[sel], total)
+
+    single = PipelineDecoder(exp, list_size=2, max_deviation=None)
+    out = single.decode_posts([posts[i] for i in sel], [False] * len(sel),
+                              total)
+    # identical decoded bits
+    assert (res.msgs == out.msgs).all()
+    # device-side CRC/index == host-side framing check
+    ok_host, idx_host = check_and_extract(out.msgs, exp.framing, total,
+                                          pad=exp.pad)
+    ok_host &= out.valid
+    assert (res.ok == ok_host).all()
+    assert (res.index[res.ok] == idx_host[res.ok]).all()
+    assert res.crc_pass_total == int(ok_host.any(axis=1).sum())
