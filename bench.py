@@ -75,6 +75,23 @@ def measure_cpp(binary: str, posts, cfg, list_size: int, dev: int,
     return float(np.mean(times))
 
 
+def wait_for_worker(max_wait_s: float = 180.0) -> bool:
+    """A TPU compile crash kills the axon worker for a while; poll until a
+    trivial jitted op succeeds in a fresh subprocess."""
+    import sys
+    deadline = time.time() + max_wait_s
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(float(jax.jit(lambda x: (x @ x).sum())"
+             "(jnp.ones((128, 128)))))")
+    while time.time() < deadline:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, timeout=120)
+        if r.returncode == 0:
+            return True
+        time.sleep(10)
+    return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
@@ -85,6 +102,8 @@ def main():
     ap.add_argument("--backend", default="xla",
                     choices=["xla", "pallas", "pallas_interpret"])
     ap.add_argument("--merge-rounds", type=int, default=None)
+    ap.add_argument("--child", action="store_true",
+                    help="internal: single-batch attempt, no fallback")
     args = ap.parse_args()
 
     from nanopore_dna_storage_tpu.config import ConvCodeConfig, DecodeConfig
@@ -100,7 +119,9 @@ def main():
     else:
         cfg = ConvCodeConfig(mem=11, rate=5, msg_len=180)
         list_size, dev = 8, 20
-        batch = args.batch or 2
+        # batch 2 currently crashes the axon remote compiler; the fallback
+        # chain recovers but costs minutes, so default straight to 1.
+        batch = args.batch or 1
         n_reads = args.reads or 8
         metric = "reads_per_s_m11_r5l6_l8"
 
@@ -126,17 +147,42 @@ def main():
             done += nsel
         return n_reads / (time.perf_counter() - t0)
 
-    # a crashed/flaky TPU worker or HBM pressure should degrade, not fail:
-    # try the requested batch, then smaller ones
+    # a crashed/flaky TPU worker or HBM pressure should degrade, not fail.
+    # Each batch attempt runs in an isolated subprocess: a failed compile
+    # kills the axon TPU worker for a while, so an in-process fallback to a
+    # smaller batch would inherit a dead client. The parent waits for worker
+    # recovery between attempts.
     tpu_rps = None
-    for b in [x for x in dict.fromkeys([batch, 2, 1]) if x >= 1]:
-        try:
-            tpu_rps = run_with_batch(b)
-            batch = b
-            break
-        except Exception as e:  # noqa: BLE001
-            print(f"# batch {b} failed: {type(e).__name__}: {str(e)[:120]}",
+    if args.child:
+        tpu_rps = run_with_batch(batch)
+    else:
+        import sys
+        for b in [x for x in dict.fromkeys([batch, 2, 1]) if x >= 1]:
+            cmd = [sys.executable, __file__, "--child", "--batch", str(b),
+                   "--reads", str(n_reads), "--skip-cpp",
+                   "--backend", args.backend]
+            if args.smoke:
+                cmd.append("--smoke")
+            if args.merge_rounds is not None:
+                cmd += ["--merge-rounds", str(args.merge_rounds)]
+            try:
+                r = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=1200)
+            except subprocess.TimeoutExpired:
+                print(f"# batch {b} timed out", flush=True)
+                continue
+            line = next((ln for ln in r.stdout.splitlines()
+                         if ln.startswith("{")), None)
+            if r.returncode == 0 and line:
+                res = json.loads(line)
+                if res.get("value"):
+                    tpu_rps = float(res["value"])
+                    batch = b
+                    break
+            err = (r.stderr or r.stdout).strip().splitlines()
+            print(f"# batch {b} failed: {err[-1][:160] if err else '?'}",
                   flush=True)
+            wait_for_worker()
     if tpu_rps is None:
         print(json.dumps({"metric": metric, "value": None,
                           "unit": "reads/s", "vs_baseline": None}))

@@ -417,92 +417,6 @@ def _step(spec: LVASpec, consts, carry, xs):
     return bufs + (prev_sc, prev_h1, prev_h2, prev_m), ()
 
 
-def _step_pallas(spec: LVASpec, consts, carry, xs):
-    """One block step with the fused Pallas ACS kernel (phase 1) and XLA
-    message materialization (phase 2).
-
-    The kernel currently uses the conv-second layout [P, C, 8, L]; the scan
-    state uses the conv-minor layout, so this path transposes at the
-    boundaries (correctness/testing path; the production XLA path avoids
-    this entirely).
-    """
-    from .lva_pallas import acs_step
-
-    carry = _carry_to_conv_second(carry)
-    (prev_sc, prev_h1, prev_h2, prev_m,
-     stale_sc, stale_h1, stale_h2, stale_m) = carry
-    post_t, start, active = xs
-    C = spec.code.nstate_conv
-    W, L, M = spec.window, spec.list_size, spec.n_msg_words
-    start1 = start + 1
-    new_sc, new_h1, new_h2, sel = acs_step(
-        spec, consts, prev_sc, prev_h1, prev_h2,
-        stale_sc, stale_h1, stale_h2, post_t.reshape(-1), start1, active,
-        interpret=spec.backend == "pallas_interpret")
-
-    # ---- phase 2: materialize messages from selections ---------------------
-    pos_w = start1 + jnp.arange(W)
-    pat_w = consts["pattern_of_pos"][pos_w]
-    shift2 = jnp.where(pat_w == 0, 1, 2).astype(jnp.uint32)
-    nbits_w = jnp.where((pat_w == 0)[:, None], consts["newbits1"][None, :],
-                        consts["newbits2"][None, :])
-
-    def slc(a, s0):
-        return jax.lax.dynamic_slice_in_dim(a, s0, W, axis=0)
-
-    p_m = slc(prev_m, start1)
-    pm1_m = slc(prev_m, start1 - 1)
-    cur_m_w = slc(stale_m, start1)
-    filled = sel >= 0  # [W,C,8,L]
-    q = jnp.clip(sel // 16, 0, NQ - 1)
-    lp = jnp.clip(sel % 16, 0, L - 1)
-    is_stay_l = q == 0
-    c_l = jnp.clip((q - 1) // NCRF, 0, NC - 1)
-    g_l = jnp.clip((q - 1) % NCRF, 0, NCRF - 1)
-    w_ix = jnp.arange(W)[:, None, None, None]
-    s_ids4 = jnp.arange(C, dtype=jnp.int32)[None, :, None, None]
-    f_ix4 = jnp.arange(NCRF, dtype=jnp.int32)[None, None, :, None]
-    kk4 = jnp.where(pat_w == 0, 2, 4).astype(jnp.int32)[:, None, None, None]
-    pc_l = (kk4 * s_ids4 + c_l) & (C - 1)
-    stay_m = p_m[w_ix, s_ids4, f_ix4, lp]
-    move_m = pm1_m[w_ix, pc_l, g_l, lp]
-    raw_m = jnp.where(is_stay_l[..., None], stay_m, move_m)
-    sh_l = jnp.where(is_stay_l, 0,
-                     shift2[:, None, None, None]).astype(jnp.uint32)
-    nb_l = jnp.where(is_stay_l, 0,
-                     nbits_w[:, :, None, None]).astype(jnp.uint32)
-    shifted = _shift_msg(raw_m, sh_l, nb_l)
-    new_m_w = jnp.where(filled[..., None], shifted, cur_m_w)
-    new_m = jax.lax.dynamic_update_slice_in_dim(stale_m, new_m_w, start1,
-                                                axis=0)
-    return _carry_to_conv_minor(
-        (new_sc, new_h1, new_h2, new_m,
-         prev_sc, prev_h1, prev_h2, prev_m)), ()
-
-
-def _carry_to_conv_second(carry):
-    """[P,8,L,C]->[P,C,8,L] and [P,8,M,L,C]->[P,C,8,L,M] (pallas interop)."""
-    def sc(a):
-        return jnp.transpose(a, (0, 3, 1, 2))
-
-    def mg(a):
-        return jnp.transpose(a, (0, 4, 1, 3, 2))
-
-    a, b, c, d, e, f, g, h = carry
-    return (sc(a), sc(b), sc(c), mg(d), sc(e), sc(f), sc(g), mg(h))
-
-
-def _carry_to_conv_minor(carry):
-    def sc(a):
-        return jnp.transpose(a, (0, 2, 3, 1))
-
-    def mg(a):
-        return jnp.transpose(a, (0, 2, 4, 3, 1))
-
-    a, b, c, d, e, f, g, h = carry
-    return (sc(a), sc(b), sc(c), mg(d), sc(e), sc(f), sc(g), mg(h))
-
-
 def _init_buffers(spec: LVASpec):
     """State buffers, conv-minor TPU layout: scores/hashes [P, 8, L, C],
     messages [P, 8, M, L, C]."""
@@ -523,8 +437,7 @@ def _decode_single(spec: LVASpec, consts, post, starts, nblk):
     T = post.shape[0]
     carry = _init_buffers(spec)
     active = jnp.arange(T) < nblk
-    step_fn = _step if spec.backend == "xla" else _step_pallas
-    step = partial(step_fn, spec, consts)
+    step = partial(_step, spec, consts)
     carry, _ = jax.lax.scan(step, carry, (post, starts, active))
     # the buffer written at the read's last active step t = nblk-1: if the
     # total step count and nblk have the same parity it is carry[0] else
@@ -567,9 +480,16 @@ class LVADecoder:
     def __init__(self, cfg: DecodeConfig):
         self.cfg = cfg
         self.spec, self.tables = LVASpec.build(cfg)
-        consts = _consts(self.spec, self.tables)
-        single = partial(_decode_single, self.spec, consts)
-        self._fn = jax.jit(jax.vmap(single))
+        if cfg.backend in ("pallas", "pallas_interpret"):
+            from .lva_pallas import PallasDecoder
+
+            self._pallas = PallasDecoder(self.spec, self.tables,
+                                         ct=cfg.pallas_ct)
+        else:
+            self._pallas = None
+            consts = _consts(self.spec, self.tables)
+            single = partial(_decode_single, self.spec, consts)
+            self._fn = jax.jit(jax.vmap(single))
 
     def schedule(self, nblks: np.ndarray, T: int) -> np.ndarray:
         """Per-read beam schedules [B, T] (host-side, float64 like the C++)."""
@@ -598,6 +518,9 @@ class LVADecoder:
             raise ValueError("post matrix shorter than nstate_pos+1 blocks "
                              "(cpp:600-601)")
         starts = self.schedule(nblks, T)
+        if self._pallas is not None:
+            m, sc, valid = self._pallas.decode(posts, starts, nblks)
+            return _unpack_msgs(self.spec, m), sc, valid
         sc, m = self._fn(jnp.asarray(posts), jnp.asarray(starts),
                          jnp.asarray(nblks, dtype=jnp.int32))
         sc = np.asarray(sc)

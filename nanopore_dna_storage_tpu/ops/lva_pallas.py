@@ -1,30 +1,41 @@
-"""Pallas TPU kernel for the list-Viterbi add-compare-select step.
+"""Fused Pallas TPU kernel for the list-Viterbi block step + traceback.
 
-Phase-1 of the per-block trellis update: for every in-window state
-(pos, conv, crf) run the K-way lazy merge (candidate heads, argmax over the
-33 predecessors, hash dedup, pointer advance) entirely in VMEM, emitting the
-new (score, hash1, hash2) lists plus packed winner selections. Message
-materialization (phase 2) stays in XLA — ops/lva.py calls this kernel when
-DecodeConfig.backend == "pallas".
+Replaces the per-state message carrying of the XLA path (ops/lva.py) with a
+selection-traceback design, and the XLA fused-op soup with one kernel per
+signal block. Faithful to ``decode_post_conv_parallel_LVA``
+(reference viterbi/viterbi_convolutional_code.cpp:589-858); validated
+list-for-list against the XLA path and the golden lists.
 
-Design (see also ops/lva.py docstring):
+Design notes (docs/DESIGN.md §5 has the long version):
 
-* grid = (W, C // CT): window position x conv tile. For the headline m=11
-  config CT == C == 2048, so each block's predecessor data is exactly one
-  previous-position row — DMA'd once, no amplification.
-* The conv predecessor structure (prev = (k*s + c) mod C) is realized by
-  reshaping the previous-position row [C, 8, L] -> [C/k, k, 8, L] and tiling
-  k-fold along the dest axis — done once per block into VMEM scratch, after
-  which every merge round runs on lane-aligned [sublane, C] tiles.
-* List-slot selection uses one-hot sums over L (TPU has no per-lane gather);
-  rounds are pure VPU work.
-
-Selections pack (q * 16 + list_pos), q in [0, 33); -1 = unfilled slot.
+* **Bit-reversed conv indexing.** Conv state ``s`` is stored at lane
+  ``rev(s)``. In rev space the shift-register predecessors
+  ``(k*s + c) mod C`` sit at ``(r >> log2 k) | perm(c) * C/k`` — a contiguous
+  slice followed by a lane upsample-by-k, which lowers as a fixed butterfly
+  of ``pltpu.roll`` + select with host-precomputed take masks (arbitrary
+  lane gathers/repeats do not lower on Mosaic; rolls do).
+* **Persistent merge heads.** The reference's lazy heap with message dedup
+  (cpp:744-799) runs as merge rounds over per-predecessor heads
+  (score, hash1, hash2, ptr) kept in VMEM; each round takes the argmax head,
+  dedups against accepted entries by dual modular hash, advances the winner's
+  pointer and refreshes only its head. Rounds stop early once every state
+  filled L slots (exact: later rounds are no-ops unless logsumexp-combining).
+* **Per-CRF-state specialization.** Moves into flop states have one legal
+  CRF predecessor (their flip), flips have seven (cpp:878-889), so the CRF
+  destination loop is unrolled with per-destination candidate sets
+  (1 + 4*|G_f| heads instead of a padded 33 everywhere).
+* **Selections, not messages.** The kernel emits, per accepted list slot,
+  the winning (predecessor, source-slot) code. Messages are reconstructed
+  after the scan by walking selections backward (``traceback_batch``),
+  replicating the double-buffer staleness rule: a read at block t sees the
+  last write to that position with time parity (t-1) mod 2 — exactly the
+  reference's swapped full buffers (cpp:667-687). This removes the
+  [states, L, 256-bit] message buffers and their per-block bandwidth
+  entirely; HBM carries only scores and hashes.
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -32,296 +43,590 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..trellis import tables as tb
+
 NCRF = 8
-NC = 4
-NQ = 1 + NC * NCRF
+NC = 4  # conv candidate slots (2 used by pattern 0)
 NEG = float("-inf")
 
+# dual modular-hash dedup primes; hashes are carried as int32 bit patterns
+# (unsigned reductions do not lower on Mosaic) — all arithmetic is exact
+# mod 2^32, and the conditional subtract treats negative as >= 2^31.
 HASH_P1 = 1073741789
 HASH_P2 = 1073741783
 
+# static CRF move mask: flip f from any g != f; flop f from flip f-4 only
+CRF_MASK = tb.crf_move_mask()  # bool [8, 8]
+G_LISTS = [tuple(int(g) for g in range(NCRF) if CRF_MASK[f, g])
+           for f in range(NCRF)]
+NQ_F = [1 + NC * len(gl) for gl in G_LISTS]
+NQ_MAX = max(NQ_F)
 
-def _hash_update(h, shift, newbits, p: int):
-    pv = jnp.uint32(p)
-    t = (h << shift) + newbits
+
+def bitrev_perm(m: int) -> np.ndarray:
+    """perm[r] = bit-reversal of r over m bits (an involution)."""
+    s = np.arange(1 << m, dtype=np.int64)
+    r = np.zeros_like(s)
+    for i in range(m):
+        r |= ((s >> i) & 1) << (m - 1 - i)
+    return r
+
+
+def _bfly_masks(ct: int, logk: int) -> np.ndarray:
+    """Take masks for the roll butterfly computing y[j] = x[j >> logk].
+
+    Simulates the greedy construction (validated on hardware): at each stage
+    d = ct/2 .. 1, lane j accepts the value rolled from j-d iff that value's
+    source index moves toward j >> logk without undershooting. Two passes
+    guarantee convergence; the assert proves it per (ct, logk).
+    """
+    src = np.arange(ct) >> logk
+    cur = np.arange(ct)
+    masks = []
+    for _ in range(2):
+        d = ct // 2
+        while d >= 1:
+            cr = np.roll(cur, d)
+            take = (cr >= src) & (cr < cur)
+            cur = np.where(take, cr, cur)
+            masks.append(take)
+            d //= 2
+        if (cur == src).all():
+            break
+    assert (cur == src).all(), f"butterfly failed ct={ct} logk={logk}"
+    n1 = len(masks)
+    nst = int(np.log2(ct))
+    if n1 == nst:  # one pass sufficed
+        return np.stack(masks).astype(np.int32)
+    out = np.zeros((2 * nst, ct), np.int32)
+    out[: n1] = np.stack(masks)
+    return out
+
+
+class PallasConsts(NamedTuple):
+    """Host tables for the kernel + traceback (all conv axes bit-reversed)."""
+
+    perm: np.ndarray  # [C] bit-reversal involution
+    borev: np.ndarray  # int32 [4 pat, 4 c, C] base emitted entering rev-state
+    nbrev: np.ndarray  # int32 [2, C] newbits (1-bit, 2-bit packed)
+    valid: np.ndarray  # int32 [Pv, C] valid-state incl. leading ghost row
+    pattern: np.ndarray  # int32 [Pv]
+    bfly: np.ndarray  # int32 [2 kvar, NST, CT] butterfly take masks
+    stay_idx: np.ndarray  # int32 [8] flat post index of stays
+    move_idx: np.ndarray  # int32 [8, 8]
+    qmap: np.ndarray  # int32 [8, NQ_MAX, 2] local q -> (c, g); -1 pad
+    init_rev: int
+    final_rev: int
+    ct: int
+    nstages: tuple  # (k=2 stages, k=4 stages), static
+
+
+def build_consts(spec, tabs: tb.TrellisTables, ct: int | None = None
+                 ) -> PallasConsts:
+    code = spec.code
+    C = code.nstate_conv
+    CT = min(ct or 512, C)
+    perm = bitrev_perm(code.mem)
+    borev = tabs.base_out.astype(np.int32)[:, perm, :].transpose(0, 2, 1)
+    nbrev = np.stack([tabs.newbits1[perm], tabs.newbits2[perm]]).astype(
+        np.int32)
+    valid = np.concatenate(
+        [np.zeros((1, C), bool), tabs.valid_state]).astype(np.int32)[:, perm]
+    pattern = np.concatenate([[0], tabs.pattern_of_pos]).astype(np.int32)
+    m1 = _bfly_masks(CT, 1)
+    m2 = _bfly_masks(CT, 2)
+    nst = (m1.shape[0], m2.shape[0])
+    bfly = np.zeros((2, max(nst), CT), np.int32)
+    bfly[0, : nst[0]] = m1
+    bfly[1, : nst[1]] = m2
+    qmap = np.full((NCRF, NQ_MAX, 2), -1, np.int32)
+    for f in range(NCRF):
+        qi = 1
+        for c in range(NC):
+            for g in G_LISTS[f]:
+                qmap[f, qi] = (c, g)
+                qi += 1
+    return PallasConsts(
+        perm=perm, borev=borev, nbrev=nbrev, valid=valid, pattern=pattern,
+        bfly=bfly, stay_idx=tb.stay_post_index(), move_idx=tb.move_post_index(),
+        qmap=qmap, init_rev=int(perm[code.initial_state]),
+        final_rev=int(perm[code.final_state]), ct=CT,
+        nstages=nst)
+
+
+def _hupd(h, shift, nb, p: int):
+    """(h * 2^shift + nb) mod p on int32 bit patterns (exact mod 2^32;
+    negative means >= 2^31, which is always >= p)."""
+    t = (h << shift) + nb
     for _ in range(3):
-        t = jnp.where(t >= pv, t - pv, t)
+        t = jnp.where((t < 0) | (t >= p), t - p, t)
     return t
 
 
-def _expand_pred(row, k: int, CT: int, c0: int, C: int):
-    """row: [C, 8, L] previous-position data -> [k, 8, L, CT] where
-    out[c, g, l, s] = row[(k*(c0+s) + c) mod C, g, l] for dest lanes s."""
-    L = row.shape[-1]
-    r = row.reshape(C // k, k, NCRF, L)  # rows: dest (c0+s) mod (C/k)
-    # dest lanes [c0, c0+CT): rows (c0 + s) mod (C/k)
-    reps = max(1, (CT * k) // C)  # number of wraparound copies needed
-    if C // k >= CT:
-        # contiguous slice [c0 mod (C/k), + CT)
-        start = c0 % (C // k)
-        sl = jax.lax.dynamic_slice_in_dim(r, start, CT, axis=0)
-    else:
-        # CT > C/k: dest lanes wrap; tile the whole table then slice
-        t = jnp.concatenate([r] * reps, axis=0)
-        start = c0 % (C // k)
-        sl = jax.lax.dynamic_slice_in_dim(t, start, CT, axis=0)
-    return sl.transpose(1, 2, 3, 0)  # [k, 8, L, CT]
+def _stage_shifts(ct: int, nst: int):
+    """Static roll amounts per butterfly stage: ct/2..1, repeated if the
+    mask simulation needed a second pass."""
+    one_pass = [ct >> (1 + i) for i in range(int(np.log2(ct)))]
+    return (one_pass * 2)[:nst]
 
 
-def _kernel(start_ref,  # scalar prefetch [1] int32 (= start1)
-            p_sc, p_h1, p_h2,  # [1, CT, 8, L] stay sources
-            r_sc, r_h1, r_h2,  # [1, C, 8, L] previous-position row
-            stay_tr_ref,  # [1, 8] f32 (postf[stay_idx], XLA-precomputed)
-            move_tr_ref,  # [8, 8] f32 (postf[move_idx])
-            base_out,  # [4, CT, 4] int32
-            nb1, nb2,  # [1, CT] uint32
-            valid,  # [1, CT] int32
-            pattern,  # [Ppad] int32 SMEM
-            active,  # [1] int32 SMEM
-            crfmask,  # [8, 8] int32
-            stale_sc, stale_h1, stale_h2,  # [1, CT, 8, L] (aliased outs)
-            out_sc, out_h1, out_h2,  # [1, CT, 8, L]
-            out_sel,  # [1, CT, 8, L] int32
-            *, CT: int, C: int, L: int, R: int, combine_lse: bool):
-    w = pl.program_id(0)
-    ci = pl.program_id(1)
-    c0 = ci * CT
-    start1 = start_ref[0]
-    pos = start1 + w
-    pat = pattern[pos]
-    is1 = pat == 0
+def _make_kernel(spec, consts: PallasConsts, interpret: bool):
+    """Build the per-block ACS kernel (one grid step per (window position,
+    conv tile); CRF destinations unrolled inside)."""
+    C = spec.code.nstate_conv
+    CT = consts.ct
+    L = spec.list_size
+    R = spec.merge_rounds
+    lse = spec.combine_lse
+    sh_k2 = _stage_shifts(CT, consts.nstages[0])
+    sh_k4 = _stage_shifts(CT, consts.nstages[1])
+    roll = jnp.roll if interpret else pltpu.roll
 
-    stay_tr = stay_tr_ref[0]  # [8]
-    move_tr = move_tr_ref[...]  # [f, g]
+    def butterfly(xs, masks, shifts):
+        ys = list(xs)
+        for s, d in enumerate(shifts):
+            take = masks[s] != 0
+            ys = [jnp.where(take, roll(y, d, y.ndim - 1), y) for y in ys]
+        return ys
 
-    # stay sources, conv on lanes
-    psc = p_sc[0].transpose(1, 2, 0)  # [8, L, CT]
-    ph1 = p_h1[0].transpose(1, 2, 0)
-    ph2 = p_h2[0].transpose(1, 2, 0)
+    small = consts.ct == spec.code.nstate_conv  # one conv tile
 
-    # move candidate lists: [c, g, L, CT] (pattern 0: 2 candidates + padding)
-    row_sc = r_sc[0]
-    e2 = _expand_pred(row_sc, 2, CT, c0, C)
-    e4 = _expand_pred(row_sc, 4, CT, c0, C)
-    msrc = jnp.where(is1, jnp.concatenate([e2, jnp.full_like(e2, NEG)], 0), e4)
-    h2_2 = _expand_pred(r_h1[0], 2, CT, c0, C)
-    h2_4 = _expand_pred(r_h1[0], 4, CT, c0, C)
-    mh1 = jnp.where(is1, jnp.concatenate([h2_2, h2_2], 0), h2_4)
-    h3_2 = _expand_pred(r_h2[0], 2, CT, c0, C)
-    h3_4 = _expand_pred(r_h2[0], 4, CT, c0, C)
-    mh2 = jnp.where(is1, jnp.concatenate([h3_2, h3_2], 0), h3_4)
+    def kernel(start_ref, p_sc, p_h1, p_h2, *rest):
+        if small:
+            (r_sc, r_h1, r_h2, s_sc, s_h1, s_h2, stay_tr, move_tr,
+             borev, nbrev, valid, bfly, pattern, active,
+             o_sc, o_h1, o_h2, o_sel) = rest
+        else:
+            (k2_sc, k2_h1, k2_h2, k4_sc, k4_h1, k4_h2,
+             s_sc, s_h1, s_h2, stay_tr, move_tr,
+             borev, nbrev, valid, bfly, pattern, active,
+             o_sc, o_h1, o_h2, o_sel) = rest
+        w = pl.program_id(0)
+        pos = start_ref[0] + w
+        pat = pattern[pos]
+        is1 = pat == 0
+        act = active[0] != 0
 
-    # move validity/transition [f, c, g, CT]
-    bo = base_out[pat].transpose(1, 0)  # [4c, CT]
-    f_base = jax.lax.broadcasted_iota(jnp.int32, (NCRF, NC, NCRF, CT), 0) % 4
-    match = bo[None, :, None, :] == f_base
-    cv = jax.lax.broadcasted_iota(jnp.int32, (NCRF, NC, NCRF, CT), 1) < \
-        jnp.where(is1, 2, 4)
-    gok = crfmask[...][:, None, :, None] != 0
-    mok = match & cv & gok & (pos > 1)
-    mtr = jnp.where(mok, move_tr[:, None, :, None], NEG)
+        psc, ph1, ph2 = p_sc[0], p_h1[0], p_h2[0]  # [8, L, CT]
 
-    shift_mv = jnp.where(is1, jnp.uint32(1), jnp.uint32(2))
-    nb_mv = jnp.where(is1, nb1[0], nb2[0]).astype(jnp.uint32)  # [CT]
+        # ---- expand move sources to destination lanes (rev space) -------
+        # dest lane r's candidate c lives at source (r >> logk | qoff*C/k).
+        # Small codes (one tile): static circular roll brings the slice to
+        # lane 0. Large codes: reshaped HBM views deliver the per-candidate
+        # contiguous >=128-lane slice, embedded by lane concat. Either way a
+        # mask butterfly then produces y[j] = slice[j >> logk].
+        def expand(kvar, c):
+            # The butterfly only ever reads source lanes [0, CT/k), so the
+            # rest of the CT-wide working array may hold garbage: a cyclic
+            # roll (small codes, one tile) or a k-fold tile (large codes)
+            # places the slice without a lane concat, which Mosaic rejects
+            # on values sliced out of 5-D blocks.
+            k = 2 << kvar
+            n = CT // k
+            qoff = c if kvar == 0 else ((c & 1) << 1) | (c >> 1)
+            if small:
+                a = (qoff * n) % CT
+                segs = [r[0] for r in (r_sc, r_h1, r_h2)]  # [8, L, CT]
+                if a:
+                    segs = [roll(s, CT - a, 2) for s in segs]
+            else:
+                view3 = (k2_sc, k2_h1, k2_h2) if kvar == 0 else \
+                    (k4_sc, k4_h1, k4_h2)
+                segs = [jnp.tile(v[0][:, :, qoff, :], (1, 1, k))
+                        for v in view3]
+            return butterfly(segs, bfly[kvar],
+                             sh_k2 if kvar == 0 else sh_k4)
 
-    def heads_stay(ptr0):
-        acc = jnp.zeros((NCRF, CT), jnp.float32)
-        for l in range(L):
-            acc += jnp.where(ptr0 == l, psc[:, l, :], 0.0)
-        return jnp.where(ptr0 < L, acc + stay_tr[:, None], NEG)
-
-    def heads_move(ptrm):
-        acc = jnp.zeros((NCRF, NC, NCRF, CT), jnp.float32)
-        for l in range(L):
-            acc += jnp.where(ptrm == l, msrc[None, :, :, l, :], 0.0)
-        return jnp.where(ptrm < L, acc + mtr, NEG)
-
-    def round_body(_, st):
-        ptr0, ptrm, osc, oh1, oh2, osel, acc_n = st
-        h0 = heads_stay(ptr0)  # [8, CT]
-        hm = heads_move(ptrm)  # [8, 4, 8, CT]
-        best = h0
-        bq = jnp.zeros((NCRF, CT), jnp.int32)
+        mv = {}
+        for c in range(2):
+            sc_e, h1_e, h2_e = expand(0, c)
+            h1_e = _hupd(h1_e, 1, nbrev[0][None, None, :], HASH_P1)
+            h2_e = _hupd(h2_e, 1, nbrev[0][None, None, :], HASH_P2)
+            mv[(0, c)] = (sc_e, h1_e, h2_e)
         for c in range(NC):
-            for g in range(NCRF):
-                cand = hm[:, c, g, :]
-                take = cand > best
-                best = jnp.where(take, cand, best)
-                bq = jnp.where(take, 1 + c * NCRF + g, bq)
-        ok = best > NEG
-        is_stay = bq == 0
+            sc_e, h1_e, h2_e = expand(1, c)
+            h1_e = _hupd(h1_e, 2, nbrev[1][None, None, :], HASH_P1)
+            h2_e = _hupd(h2_e, 2, nbrev[1][None, None, :], HASH_P2)
+            mv[(1, c)] = (sc_e, h1_e, h2_e)
 
-        pstar = jnp.where(is_stay, ptr0, 0)
-        for c in range(NC):
-            for g in range(NCRF):
-                q = 1 + c * NCRF + g
-                pstar = jnp.where(bq == q, ptrm[:, c, g, :], pstar)
-        lidx = jnp.clip(pstar, 0, L - 1)
+        posgate = pos > 1
+        wm = (valid[pl.ds(pos, 1)][0] != 0) & act  # [CT]
+        sels = []
+        iL = jax.lax.broadcasted_iota(jnp.int32, (L, CT), 0)
 
-        # winner's source hashes via one-hot over (c, g) then l
-        sh1 = jnp.zeros((NCRF, CT), jnp.uint32)
-        sh2 = jnp.zeros((NCRF, CT), jnp.uint32)
-        for l in range(L):
-            at_l = lidx == l
-            sh1 = jnp.where(at_l & is_stay, ph1[:, l, :], sh1)
-            sh2 = jnp.where(at_l & is_stay, ph2[:, l, :], sh2)
-        # collapse (c,g) for each l on the move side
-        for c in range(NC):
-            for g in range(NCRF):
-                q = 1 + c * NCRF + g
-                hit = bq == q
-                hl1 = jnp.zeros((NCRF, CT), jnp.uint32)
-                hl2 = jnp.zeros((NCRF, CT), jnp.uint32)
-                for l in range(L):
-                    at_l = lidx == l
-                    hl1 = jnp.where(at_l, mh1[c, g, l, :][None], hl1)
-                    hl2 = jnp.where(at_l, mh2[c, g, l, :][None], hl2)
-                sh1 = jnp.where(hit, hl1, sh1)
-                sh2 = jnp.where(hit, hl2, sh2)
-        sh = jnp.where(is_stay, jnp.uint32(0), shift_mv)
-        nb = jnp.where(is_stay, jnp.uint32(0), nb_mv[None, :])
-        ch1 = _hash_update(sh1, sh, nb, HASH_P1)
-        ch2 = _hash_update(sh2, sh, nb, HASH_P2)
+        for f in range(NCRF):
+            gl = G_LISTS[f]
+            nq = NQ_F[f]
+            base_f = f % 4
+            rows_sc = [psc[f] + stay_tr[0, f]]
+            rows_h1 = [ph1[f]]
+            rows_h2 = [ph2[f]]
+            for c in range(NC):
+                bmatch = (borev[pl.ds(pat, 1), c][0] == base_f) & posgate
+                sc2, h12, h22 = mv[(0, min(c, 1))]
+                sc4, h14, h24 = mv[(1, c)]
+                for g in gl:
+                    v_sc = jnp.where(is1, sc2[g], sc4[g])
+                    v_h1 = jnp.where(is1, h12[g], h14[g])
+                    v_h2 = jnp.where(is1, h22[g], h24[g])
+                    tr = move_tr[f, g]
+                    rows_sc.append(jnp.where(bmatch[None, :], v_sc + tr, NEG))
+                    rows_h1.append(v_h1)
+                    rows_h2.append(v_h2)
+            srcall_sc = jnp.stack(rows_sc)  # [NQ, L, CT]
+            srcall_h1 = jnp.stack(rows_h1)
+            srcall_h2 = jnp.stack(rows_h2)
+            iNQ = jax.lax.broadcasted_iota(jnp.int32, (nq, CT), 0)
 
-        seen = jnp.zeros((NCRF, CT), bool)
-        for l in range(L):
-            eq = (oh1[:, l, :] == ch1) & (oh2[:, l, :] == ch2) & (acc_n > l)
-            if combine_lse:
-                osc = osc.at[:, l, :].set(
-                    jnp.where(eq & ok, jnp.logaddexp(osc[:, l, :], best),
-                              osc[:, l, :]))
-            seen = seen | eq
-        accept = ok & (~seen) & (acc_n < L)
-        for l in range(L):
-            put = accept & (acc_n == l)
-            osc = osc.at[:, l, :].set(jnp.where(put, best, osc[:, l, :]))
-            oh1 = oh1.at[:, l, :].set(jnp.where(put, ch1, oh1[:, l, :]))
-            oh2 = oh2.at[:, l, :].set(jnp.where(put, ch2, oh2[:, l, :]))
-            osel = osel.at[:, l, :].set(
-                jnp.where(put, bq * 16 + lidx, osel[:, l, :]))
-        acc_n = acc_n + accept.astype(jnp.int32)
+            def cond(st, _nq=nq):
+                rnd, _, _, _, _, _, _, _, _, acc = st
+                if lse:
+                    return rnd < R
+                return (rnd < R) & (jnp.min(acc) < L)
 
-        ptr0 = ptr0 + (is_stay & ok).astype(jnp.int32)
-        adv = ((~is_stay) & ok).astype(jnp.int32)
-        onehot_q = jnp.zeros((NCRF, NC, NCRF, CT), jnp.int32)
-        for c in range(NC):
-            for g in range(NCRF):
-                q = 1 + c * NCRF + g
-                onehot_q = onehot_q.at[:, c, g, :].set(
-                    jnp.where(bq == q, adv, 0))
-        ptrm = ptrm + onehot_q
-        return ptr0, ptrm, osc, oh1, oh2, osel, acc_n
+            def body(st, _nq=nq, _iNQ=iNQ, _sall=(srcall_sc, srcall_h1,
+                                                  srcall_h2)):
+                (rnd, hs, hh1, hh2, hptr, osc, oh1, oh2, osel, acc) = st
+                sall_sc, sall_h1, sall_h2 = _sall
+                best = jnp.max(hs, axis=0)  # [CT]
+                bq = jnp.argmax(hs, axis=0)
+                ok = best > NEG
+                oh = _iNQ == bq[None, :]
+                ch1 = jnp.where(oh, hh1, 0).sum(0)
+                ch2 = jnp.where(oh, hh2, 0).sum(0)
+                ps = jnp.where(oh, hptr, 0).sum(0)
+                lidx = jnp.clip(ps, 0, L - 1)
 
-    st = (
-        jnp.zeros((NCRF, CT), jnp.int32),
-        jnp.zeros((NCRF, NC, NCRF, CT), jnp.int32),
-        jnp.full((NCRF, L, CT), NEG, jnp.float32),
-        jnp.zeros((NCRF, L, CT), jnp.uint32),
-        jnp.zeros((NCRF, L, CT), jnp.uint32),
-        jnp.full((NCRF, L, CT), -1, jnp.int32),
-        jnp.zeros((NCRF, CT), jnp.int32),
-    )
-    st = jax.lax.fori_loop(0, R, round_body, st)
-    _, _, osc, oh1, oh2, osel, _ = st
+                eq = (oh1 == ch1[None]) & (oh2 == ch2[None]) & (iL < acc[None])
+                seen = eq.astype(jnp.int32).max(0) > 0
+                if lse:
+                    osc = jnp.where(eq & ok[None],
+                                    jnp.logaddexp(osc, best[None]), osc)
+                accept = ok & (~seen) & (acc < L)
+                put = (iL == acc[None]) & accept[None]
+                osc = jnp.where(put, best[None], osc)
+                oh1 = jnp.where(put, ch1[None], oh1)
+                oh2 = jnp.where(put, ch2[None], oh2)
+                osel = jnp.where(put, bq[None] * 64 + lidx[None], osel)
+                acc = acc + accept.astype(jnp.int32)
 
-    # position 0 (padded index 1): stay-only, slot 0 only
-    ispos0 = pos == 1
-    p0 = psc[:, 0, :] + stay_tr[:, None]
-    for l in range(L):
-        osc = osc.at[:, l, :].set(
-            jnp.where(ispos0, p0 if l == 0 else jnp.full_like(p0, NEG),
-                      osc[:, l, :]))
-        oh1 = oh1.at[:, l, :].set(
-            jnp.where(ispos0, ph1[:, l, :], oh1[:, l, :]))
-        oh2 = oh2.at[:, l, :].set(
-            jnp.where(ispos0, ph2[:, l, :], oh2[:, l, :]))
-        osel = osel.at[:, l, :].set(
-            jnp.where(ispos0, 0 if l == 0 else -1, osel[:, l, :]))
+                adv = oh & ok[None]
+                hptr = hptr + adv.astype(jnp.int32)
+                for l in range(1, L):
+                    m = adv & (hptr == l)
+                    hs = jnp.where(m, sall_sc[:, l, :], hs)
+                    hh1 = jnp.where(m, sall_h1[:, l, :], hh1)
+                    hh2 = jnp.where(m, sall_h2[:, l, :], hh2)
+                hs = jnp.where(adv & (hptr >= L), NEG, hs)
+                return (rnd + 1, hs, hh1, hh2, hptr, osc, oh1, oh2, osel,
+                        acc)
 
-    wmask = (valid[0] != 0) & (active[0] != 0)  # [CT]
-    ssc = stale_sc[0].transpose(1, 2, 0)
-    sh1_ = stale_h1[0].transpose(1, 2, 0)
-    sh2_ = stale_h2[0].transpose(1, 2, 0)
-    m = wmask[None, None, :]
-    out_sc[0] = jnp.where(m, osc, ssc).transpose(2, 0, 1)
-    out_h1[0] = jnp.where(m, oh1, sh1_).transpose(2, 0, 1)
-    out_h2[0] = jnp.where(m, oh2, sh2_).transpose(2, 0, 1)
-    out_sel[0] = jnp.where(m, osel, -1).transpose(2, 0, 1)
+            st0 = (
+                jnp.int32(0),
+                srcall_sc[:, 0, :], srcall_h1[:, 0, :], srcall_h2[:, 0, :],
+                jnp.zeros((nq, CT), jnp.int32),
+                jnp.full((L, CT), NEG, jnp.float32),
+                jnp.zeros((L, CT), jnp.int32),
+                jnp.zeros((L, CT), jnp.int32),
+                jnp.full((L, CT), -1, jnp.int32),
+                jnp.zeros((CT,), jnp.int32),
+            )
+            st = jax.lax.while_loop(cond, body, st0)
+            (_, _, _, _, _, osc, oh1, oh2, osel, _) = st
+
+            # position 0 (padded row 1): stay-only, slot 0 scored, all list
+            # slots carried through unchanged (cpp:706-713)
+            isp0 = pos == 1
+            p0 = jnp.where(iL == 0, psc[f] + stay_tr[0, f], NEG)
+            osc = jnp.where(isp0, p0, osc)
+            oh1 = jnp.where(isp0, ph1[f], oh1)
+            oh2 = jnp.where(isp0, ph2[f], oh2)
+            osel = jnp.where(isp0, iL, osel)
+
+            o_sc[0, f] = jnp.where(wm[None], osc, s_sc[0, f])
+            o_h1[0, f] = jnp.where(wm[None], oh1, s_h1[0, f])
+            o_h2[0, f] = jnp.where(wm[None], oh2, s_h2[0, f])
+            sels.append(jnp.where(wm[None], osel, -1))
+
+        o_sel[0] = jnp.stack(sels).reshape(NCRF * L, CT).astype(jnp.int16)
+
+    return kernel
 
 
-def acs_step(spec, consts_np: Dict[str, np.ndarray], prev_sc, prev_h1,
-             prev_h2, stale_sc, stale_h1, stale_h2, postf, start1, active,
-             *, ct: int | None = None, interpret: bool = False):
-    """One fused ACS block step. Buffers [P, C, 8, L]; returns
-    (new_sc, new_h1, new_h2, sel[W, C, 8, L])."""
-    P, C = prev_sc.shape[0], prev_sc.shape[1]
-    L, W = spec.list_size, spec.window
-    CT = min(ct or 2048, C)
+def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
+              start1, active, interpret: bool = False):
+    """One signal-block ACS step over the full beam window.
+
+    prev/stale: (sc f32, h1 i32, h2 i32), each [P, 8, L, C] (conv axis
+    bit-reversed). Returns (new_sc, new_h1, new_h2, sel[W, 8L, C] i16);
+    the new buffers alias the stale ones.
+    """
+    p_sc, p_h1, p_h2 = prev
+    s_sc, s_h1, s_h2 = stale
+    P, _, L, C = p_sc.shape
+    CT = consts.ct
     n_ct = C // CT
-    grid = (W, n_ct)
+    W = spec.window
+    NST = consts.bfly.shape[1]
+    Pv = cdev["valid"].shape[0]
+
+    stay_tr = postf[cdev["stay_idx"]].reshape(1, NCRF)
+    move_tr = postf[cdev["move_idx"]]
+    small = CT == C
 
     vm = pltpu.VMEM
-
-    def im_p(w, c, s):
-        return (s[0] + w, c, 0, 0)
-
-    def im_row(w, c, s):
-        return (s[0] + w - 1, 0, 0, 0)
-
-    specs_in = (
-        [pl.BlockSpec((1, CT, NCRF, L), im_p, memory_space=vm)] * 3
-        + [pl.BlockSpec((1, C, NCRF, L), im_row, memory_space=vm)] * 3
-        + [
-            pl.BlockSpec((1, NCRF), lambda w, c, s: (0, 0),
-                         memory_space=vm),  # stay_tr
-            pl.BlockSpec((NCRF, NCRF), lambda w, c, s: (0, 0),
-                         memory_space=vm),  # move_tr
-            pl.BlockSpec((4, CT, 4), lambda w, c, s: (0, c, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, CT), lambda w, c, s: (0, c), memory_space=vm),
-            pl.BlockSpec((1, CT), lambda w, c, s: (0, c), memory_space=vm),
-            pl.BlockSpec((1, CT), lambda w, c, s: (s[0] + w, c),
-                         memory_space=vm),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # pattern
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # active
-            pl.BlockSpec((NCRF, NCRF), lambda w, c, s: (0, 0),
-                         memory_space=vm),  # crfmask
-        ]
-        + [pl.BlockSpec((1, CT, NCRF, L), im_p, memory_space=vm)] * 3
-    )
-    specs_out = [pl.BlockSpec((1, CT, NCRF, L), im_p, memory_space=vm)] * 3 \
-        + [pl.BlockSpec((1, CT, NCRF, L), lambda w, c, s: (w, c, 0, 0),
-                        memory_space=vm)]
+    b_tile = pl.BlockSpec((1, NCRF, L, CT),
+                          lambda w, ci, s: (s[0] + w, 0, 0, ci),
+                          memory_space=vm)
+    if small:
+        b_row = pl.BlockSpec((1, NCRF, L, C),
+                             lambda w, ci, s: (s[0] + w - 1, 0, 0, 0),
+                             memory_space=vm)
+        mv_specs = [b_row] * 3
+        mv_args = [p_sc, p_h1, p_h2]
+    else:
+        b_k2 = pl.BlockSpec((1, NCRF, L, 2, CT // 2),
+                            lambda w, ci, s: (s[0] + w - 1, 0, 0, 0, ci),
+                            memory_space=vm)
+        b_k4 = pl.BlockSpec((1, NCRF, L, 4, CT // 4),
+                            lambda w, ci, s: (s[0] + w - 1, 0, 0, 0, ci),
+                            memory_space=vm)
+        mv_specs = [b_k2] * 3 + [b_k4] * 3
+        mv_args = ([a.reshape(P, NCRF, L, 2, C // 2)
+                    for a in (p_sc, p_h1, p_h2)]
+                   + [a.reshape(P, NCRF, L, 4, C // 4)
+                      for a in (p_sc, p_h1, p_h2)])
+    in_specs = (
+        [b_tile] * 3 + mv_specs + [b_tile] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM),  # stay_tr
+           pl.BlockSpec(memory_space=pltpu.SMEM)]  # move_tr
+        + [pl.BlockSpec((4, 4, CT), lambda w, ci, s: (0, 0, ci),
+                        memory_space=vm),
+           pl.BlockSpec((2, CT), lambda w, ci, s: (0, ci), memory_space=vm),
+           pl.BlockSpec((Pv, CT), lambda w, ci, s: (0, ci), memory_space=vm),
+           pl.BlockSpec((2, NST, CT), lambda w, ci, s: (0, 0, 0),
+                        memory_space=vm),
+           pl.BlockSpec(memory_space=pltpu.SMEM),  # pattern
+           pl.BlockSpec(memory_space=pltpu.SMEM)])  # active
+    out_specs = [b_tile] * 3 + [
+        pl.BlockSpec((1, NCRF * L, CT), lambda w, ci, s: (w, 0, ci),
+                     memory_space=vm)]
     out_shape = [
-        jax.ShapeDtypeStruct((P, C, NCRF, L), jnp.float32),
-        jax.ShapeDtypeStruct((P, C, NCRF, L), jnp.uint32),
-        jax.ShapeDtypeStruct((P, C, NCRF, L), jnp.uint32),
-        jax.ShapeDtypeStruct((W, C, NCRF, L), jnp.int32),
+        jax.ShapeDtypeStruct((P, NCRF, L, C), jnp.float32),
+        jax.ShapeDtypeStruct((P, NCRF, L, C), jnp.int32),
+        jax.ShapeDtypeStruct((P, NCRF, L, C), jnp.int32),
+        jax.ShapeDtypeStruct((W, NCRF * L, C), jnp.int16),
     ]
-
-    kern = functools.partial(_kernel, CT=CT, C=C, L=L, R=spec.merge_rounds,
-                             combine_lse=spec.combine_lse)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=grid, in_specs=specs_in,
-        out_specs=specs_out)
+    stale_base = 1 + 3 + len(mv_args)  # arg index of s_sc (incl. scalar)
+    kern = _make_kernel(spec, consts, interpret)
     fn = pl.pallas_call(
-        kern, grid_spec=grid_spec, out_shape=out_shape,
-        input_output_aliases={16: 0, 17: 1, 18: 2},
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(W, n_ct), in_specs=in_specs,
+            out_specs=out_specs),
+        out_shape=out_shape,
+        input_output_aliases={stale_base: 0, stale_base + 1: 1,
+                              stale_base + 2: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the stack high-water exceeds the default 16M scoped limit for
+            # large codes (srcall per CRF destination); physical VMEM on
+            # v5e/v4 is 128M, so raise the scoped cap and keep CT modest
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
-    stay_tr = postf[jnp.asarray(consts_np["stay_idx"])].reshape(1, NCRF)
-    move_tr = postf[jnp.asarray(consts_np["move_idx"])]
     return fn(
         jnp.reshape(jnp.asarray(start1, jnp.int32), (1,)),
-        prev_sc, prev_h1, prev_h2,
-        prev_sc, prev_h1, prev_h2,  # previous-position rows (same buffers)
+        p_sc, p_h1, p_h2, *mv_args, s_sc, s_h1, s_h2,
         stay_tr.astype(jnp.float32), move_tr.astype(jnp.float32),
-        jnp.asarray(consts_np["base_out"], jnp.int32),
-        jnp.asarray(consts_np["newbits1"], jnp.uint32).reshape(1, -1),
-        jnp.asarray(consts_np["newbits2"], jnp.uint32).reshape(1, -1),
-        jnp.asarray(consts_np["valid_state"], jnp.int32),
-        jnp.asarray(consts_np["pattern_of_pos"], jnp.int32),
-        jnp.reshape(jnp.asarray(active, jnp.int32), (1,)),
-        jnp.asarray(consts_np["crf_mask"], jnp.int32),
-        stale_sc, stale_h1, stale_h2,
+        cdev["borev"], cdev["nbrev"], cdev["valid"], cdev["bfly"],
+        cdev["pattern"], jnp.reshape(jnp.asarray(active, jnp.int32), (1,)))
+
+
+# ---------------------------------------------------------------------------
+# Forward scan + traceback
+# ---------------------------------------------------------------------------
+
+def _init_buffers(spec, consts: PallasConsts):
+    C, L = spec.code.nstate_conv, spec.list_size
+    P = spec.npos_pad  # includes the leading ghost row
+    sc = jnp.full((P, NCRF, L, C), NEG, jnp.float32)
+    sc = sc.at[1, :, 0, consts.init_rev].set(0.0)
+    h = jnp.zeros((P, NCRF, L, C), jnp.int32)
+    o = jnp.full((P, NCRF, L, C), NEG, jnp.float32)
+    return (sc, h, h, o, jnp.zeros_like(h), jnp.zeros_like(h))
+
+
+def _forward(spec, consts, cdev, post, starts, nblk, interpret):
+    """Scan the ACS kernel over signal blocks; returns final scores at
+    (last position, final conv state) [8, L] and selections [T, W, 8L, C]."""
+    T = post.shape[0]
+    bufs = _init_buffers(spec, consts)
+    active = jnp.arange(T) < nblk
+
+    def step(carry, xs):
+        psc, ph1, ph2, ssc, sh1, sh2 = carry
+        post_t, start, act = xs
+        nsc, nh1, nh2, sel = acs_block(
+            spec, consts, cdev, (psc, ph1, ph2), (ssc, sh1, sh2),
+            post_t.reshape(-1), start + 1, act, interpret)
+        return (nsc, nh1, nh2, psc, ph1, ph2), sel
+
+    carry, sels = jax.lax.scan(step, bufs, (post, starts, active))
+    # buffer written at the last active step t = nblk-1 (cf. ops/lva.py)
+    same = (T - nblk) % 2 == 0
+    fsc = jnp.where(same, carry[0], carry[3])
+    last_row = spec.code.nstate_pos - 1 + 1
+    fin = fsc[last_row, :, :, consts.final_rev]  # [8, L]
+    return fin, sels
+
+
+def window_bounds(starts_np: np.ndarray, nblk: int, npos_pad: int, W: int):
+    """Per padded row, the first/last block t (< nblk) whose beam window
+    [starts[t]+1, starts[t]+W] covers it. Rows never covered get
+    (0, -10)."""
+    rows = np.arange(npos_pad)
+    s = np.asarray(starts_np[:nblk])
+    tlo = np.searchsorted(s, rows - W, side="left")
+    thi = np.searchsorted(s, rows - 1, side="right") - 1
+    none = tlo > thi
+    tlo = tlo.copy()
+    thi = thi.copy()
+    tlo[none] = 0
+    thi[none] = -10
+    return tlo.astype(np.int32), thi.astype(np.int32)
+
+
+def _traceback(spec, consts, tbdev, sels, starts, nblk, tlo, thi):
+    """Reconstruct packed messages for all 8*L final-state chains by walking
+    the per-block selections backward.
+
+    Replicates the reference's double-buffer staleness: the value a block t
+    read for row r was written at the largest t' <= t-1 with
+    t' = t-1 (mod 2) and r inside window(t'); if no such t', the read hit
+    the initial buffers (parity-1 buffer holds the single seeded state,
+    cpp:607-620,667-687).
+    """
+    C = spec.code.nstate_conv
+    L = spec.list_size
+    nch = NCRF * L
+    Mw = -(-(spec.code.config.msg_len + spec.code.mem) // 32)
+    T = sels.shape[0]
+    last_row = spec.code.nstate_pos - 1 + 1
+    qmap, pattern, nbrev = tbdev["qmap"], tbdev["pattern"], tbdev["nbrev"]
+
+    def lastwrite(row, tmax, par):
+        x = jnp.minimum(tmax, thi[row])
+        x = x - ((x - par) & 1)
+        return jnp.where(x >= tlo[row], x, -1)
+
+    ch = jnp.arange(nch, dtype=jnp.int32)
+    par0 = (nblk - 1) % 2
+    st0 = dict(
+        pos=jnp.full((nch,), last_row, jnp.int32),
+        conv=jnp.full((nch,), consts.final_rev, jnp.int32),
+        f=ch // L, slot=ch % L,
+        tw=lastwrite(jnp.full((nch,), last_row), nblk - 1, par0),
+        words=jnp.zeros((nch, Mw), jnp.int32),
+        bitcnt=jnp.zeros((nch,), jnp.int32),
+        alive=jnp.ones((nch,), bool),
+        okend=jnp.zeros((nch,), bool),
     )
+    wi_ids = jnp.arange(Mw, dtype=jnp.int32)
+
+    def step(st, xs):
+        t, sel_t, start_t = xs
+        act = st["alive"] & (st["tw"] == t)
+        w_i = jnp.clip(st["pos"] - start_t - 1, 0, sel_t.shape[0] - 1)
+        flat = (w_i * (NCRF * L) + st["f"] * L + st["slot"]) * C + st["conv"]
+        code = jnp.take(sel_t.reshape(-1), flat).astype(jnp.int32)
+        q = jnp.clip(code // 64, 0, NQ_MAX - 1)
+        lsrc = jnp.clip(code % 64, 0, L - 1)
+        cg = qmap[st["f"], q]
+        c, g = cg[:, 0], cg[:, 1]
+        is_stay = q == 0
+        pat = pattern[st["pos"]]
+        kvar = jnp.where(pat == 0, 0, 1)
+        nb = nbrev[kvar, st["conv"]]
+        rev2c = (c & 1) * 2 + (c >> 1)
+        csrc = jnp.where(kvar == 0, (st["conv"] >> 1) + c * (C // 2),
+                         (st["conv"] >> 2) + rev2c * (C // 4))
+        off = st["bitcnt"] % 32
+        widx = st["bitcnt"] // 32
+        lo = nb << off
+        hi = jnp.where(off == 0, 0, (nb >> 1) >> (31 - off))
+        add = jnp.where(wi_ids[None] == widx[:, None], lo[:, None], 0) | \
+            jnp.where(wi_ids[None] == widx[:, None] + 1, hi[:, None], 0)
+        do_move = act & ~is_stay
+        words = jnp.where(do_move[:, None], st["words"] | add, st["words"])
+        bitcnt = jnp.where(do_move, st["bitcnt"] + 1 + kvar, st["bitcnt"])
+        npos = jnp.where(is_stay, st["pos"], st["pos"] - 1)
+        nconv = jnp.where(is_stay, st["conv"], csrc)
+        nf = jnp.where(is_stay, st["f"], g)
+        ntw = lastwrite(npos, t - 1, (t - 1) & 1)
+        hit_init = act & (ntw < 0)
+        okend = st["okend"] | (hit_init & (((t - 1) & 1) == 1)
+                               & (npos == 1) & (nconv == consts.init_rev)
+                               & (lsrc == 0))
+        return dict(
+            pos=jnp.where(act, npos, st["pos"]),
+            conv=jnp.where(act, nconv, st["conv"]),
+            f=jnp.where(act, nf, st["f"]),
+            slot=jnp.where(act, lsrc, st["slot"]),
+            tw=jnp.where(act, ntw, st["tw"]),
+            words=words, bitcnt=bitcnt,
+            alive=st["alive"] & ~(act & (ntw < 0)),
+            okend=okend), ()
+
+    ts = jnp.arange(T, dtype=jnp.int32)
+    st, _ = jax.lax.scan(step, st0, (ts, sels, starts), reverse=True)
+    return st["words"], st["okend"]
+
+
+class PallasDecoder:
+    """Batched list-Viterbi decode via the fused kernel + traceback."""
+
+    def __init__(self, spec, tabs, ct: int | None = None):
+        self.spec = spec
+        self.interpret = spec.backend == "pallas_interpret"
+        self.consts = build_consts(spec, tabs, ct)
+        c = self.consts
+        self._cdev = dict(
+            borev=jnp.asarray(c.borev), nbrev=jnp.asarray(c.nbrev),
+            valid=jnp.asarray(c.valid), bfly=jnp.asarray(c.bfly),
+            pattern=jnp.asarray(c.pattern),
+            stay_idx=jnp.asarray(c.stay_idx),
+            move_idx=jnp.asarray(c.move_idx))
+        self._tbdev = dict(
+            qmap=jnp.asarray(c.qmap), pattern=jnp.asarray(c.pattern),
+            nbrev=jnp.asarray(c.nbrev))
+        L = spec.list_size
+
+        def full(post, starts, nblk, tlo, thi):
+            fin, sels = _forward(spec, c, self._cdev, post, starts, nblk,
+                                 self.interpret)
+            words, okend = _traceback(spec, c, self._tbdev, sels, starts,
+                                      nblk, tlo, thi)
+            flat = fin.reshape(-1)
+            order = jnp.argsort(-flat, stable=True)[:L]
+            return flat[order], words[order], okend[order]
+
+        self._fn = jax.jit(jax.vmap(full))
+
+    def decode(self, posts, starts, nblks):
+        """posts [B,T,5,8] f32, starts [B,T] i32, nblks [B] -> packed words
+        uint32 [B,L,Mw], scores [B,L], valid [B,L]."""
+        W = self.spec.window
+        P = self.spec.npos_pad
+        tlo = np.zeros((len(nblks), P), np.int32)
+        thi = np.zeros((len(nblks), P), np.int32)
+        for b, n in enumerate(np.asarray(nblks)):
+            tlo[b], thi[b] = window_bounds(starts[b], int(n), P, W)
+        sc, words, okend = self._fn(
+            jnp.asarray(posts), jnp.asarray(starts, jnp.int32),
+            jnp.asarray(nblks, jnp.int32), jnp.asarray(tlo),
+            jnp.asarray(thi))
+        sc = np.asarray(sc)
+        msgs = np.asarray(words).view(np.uint32)
+        valid = (sc > -np.inf) & np.asarray(okend)
+        return msgs, sc, valid

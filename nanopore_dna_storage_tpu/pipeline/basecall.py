@@ -111,3 +111,12 @@ def write_fasta(path: str, calls: Iterable[Basecall]) -> None:
     with open(path, "w") as f:
         for c in calls:
             f.write(f">{c.read_id}\n{c.sequence}\n")
+
+
+def write_sam(path: str, calls: Iterable[Basecall]) -> None:
+    """Unaligned SAM records (flappie_output.c:69-90): flag 4, no ref."""
+    with open(path, "w") as f:
+        f.write("@HD\tVN:1.4\tSO:unknown\n")
+        for c in calls:
+            f.write(f"{c.read_id}\t4\t*\t0\t0\t*\t*\t0\t0\t"
+                    f"{c.sequence}\t{c.quality}\n")
