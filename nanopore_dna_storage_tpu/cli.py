@@ -150,6 +150,10 @@ def cmd_error_rate(args):
     counts = dict(num_reads=0, num_correct=0, num_erasure_CRC=0,
                   num_error_CRC=0)
     num_oligos = len(oligo_msgs)
+    # index -> {msg: count}, the reference's decoded_index_dict
+    # (compute_error_rate_from_decoded_lists.py:22-51): per recovered index,
+    # vote over the per-read chosen messages.
+    index_dict: dict = {}
     for i in decoded_indices(args.lists_dir):
         lst = read_list_file(args.lists_dir, i, args.list_size)
         counts["num_reads"] += 1
@@ -160,10 +164,19 @@ def cmd_error_rate(args):
             counts["num_erasure_CRC"] += 1
             continue
         first = int(np.argmax(ok))
-        if lst[first] == oligo_msgs[int(idx[first])]:
+        index = int(idx[first])
+        votes = index_dict.setdefault(index, {})
+        votes[lst[first]] = votes.get(lst[first], 0) + 1
+        if lst[first] == oligo_msgs[index]:
             counts["num_correct"] += 1
         else:
             counts["num_error_CRC"] += 1
+    # majority stats: per recovered index, does the top-voted message match?
+    maj_correct = sum(
+        1 for index, votes in index_dict.items()
+        if max(votes.items(), key=lambda kv: kv[1])[0] == oligo_msgs[index])
+    counts["num_indices_recovered"] = len(index_dict)
+    counts["num_indices_majority_correct"] = maj_correct
     print(json.dumps(counts))
 
 
@@ -175,8 +188,14 @@ def cmd_rs_recover(args):
     from .pipeline.decode import majority_vote, recover_file
     from .coding.framing import check_and_extract, extract_payload
 
+    import math
+
     exp = _experiment(args)
     size = args.data_size
+    # num_oligos derives from the padded data size exactly as the reference
+    # does (decode_RS_from_decoded_lists.py:20-22 via compute_parameters)
+    padded = math.ceil(size / exp.bytes_per_oligo) * exp.bytes_per_oligo
+    _, _, num_oligos = exp.oligo_counts(padded)
     all_ids = decoded_indices(args.lists_dir)
     rnd = random.Random(args.seed)
     successes = 0
@@ -189,7 +208,7 @@ def cmd_rs_recover(args):
                 continue
             msgs = np.asarray([[int(c) for c in m] for m in lst], np.uint8)
             ok, idx = check_and_extract(
-                msgs, exp.framing, 1 << exp.framing.index_len, pad=exp.pad)
+                msgs, exp.framing, num_oligos, pad=exp.pad)
             if not ok.any():
                 continue
             first = int(np.argmax(ok))
@@ -236,22 +255,18 @@ def cmd_decode_posts(args):
             max_deviation=args.max_deviation)
     else:
         # posts already truncated to the payload window; decode fwd + rc and
-        # keep the orientation whose best score wins
+        # keep the orientation whose best path score wins
         dec = PipelineDecoder(exp, args.list_size, args.max_deviation)
         posts = [read_post(pf) for pf in post_files]
         records = []
-        n = len(posts)
-        out_f = dec.decode_posts(posts, [False] * n,
-                                 1 << exp.framing.index_len)
-        out_r = dec.decode_posts(posts, [True] * n,
-                                 1 << exp.framing.index_len)
+        out, use_rc = dec.decode_posts_auto_orientation(
+            posts, 1 << exp.framing.index_len)
         for i, pf in enumerate(post_files):
             rid = os.path.basename(pf)[: -len(".post")]
-            use_rc = (out_r.index[i] >= 0) and (out_f.index[i] < 0)
-            out = out_r if use_rc else out_f
             msgs = ["".join(map(str, m))
                     for m, v in zip(out.msgs[i], out.valid[i]) if v]
-            records.append(ReadDecodeRecord(rid, "ok", use_rc, msgs=msgs))
+            records.append(ReadDecodeRecord(rid, "ok", bool(use_rc[i]),
+                                            msgs=msgs))
     os.makedirs(args.outdir, exist_ok=True)
     write_decoded_lists(args.outdir, records)
     ok = sum(1 for r in records if r.status == "ok")

@@ -32,6 +32,9 @@ class ListDecodeOutcome:
     index: np.ndarray  # [B] int64, -1 if no candidate passed
     payload: np.ndarray  # [B, bytes_per_oligo] uint8 (valid where index >= 0)
     chosen_msg: np.ndarray  # [B, msg_len] uint8
+    # best (top-entry) path score per read; -inf when the list is empty.
+    # Lists are score-sorted (cpp:817-824) so entry 0 is the best path.
+    best_score: Optional[np.ndarray] = None  # [B] float32
 
 
 class PipelineDecoder:
@@ -60,14 +63,44 @@ class PipelineDecoder:
         msg_len = self.exp.msg_len()
         msgs = np.zeros((len(posts), L, msg_len), np.uint8)
         valid = np.zeros((len(posts), L), bool)
+        best = np.full(len(posts), -np.inf, np.float32)
         for flag, dec in ((False, self.fwd), (True, self.rc)):
             sel = np.nonzero(rc_flags == flag)[0]
             if len(sel) == 0:
                 continue
-            m, _, v = dec.decode(batch[sel], nblks[sel])
+            m, sc, v = dec.decode(batch[sel], nblks[sel])
             msgs[sel] = m
             valid[sel] = v
-        return self.classify(msgs, valid, num_oligos)
+            best[sel] = np.where(v[:, 0], sc[:, 0], -np.inf)
+        out = self.classify(msgs, valid, num_oligos)
+        out.best_score = best
+        return out
+
+    def decode_posts_auto_orientation(
+            self, posts: Sequence[np.ndarray], num_oligos: int
+    ) -> Tuple[ListDecodeOutcome, np.ndarray]:
+        """Decode every post in both orientations; per read, keep the
+        orientation whose best (top-entry) path score is higher.
+
+        The real-data driver picks orientation by barcode edit distance
+        (generate_decoded_lists.py:68-74); when posts arrive pre-truncated
+        with no basecall, the path score is the analogous evidence (lists
+        are score-sorted, cpp:817-824). Returns (outcome, rc_used [B] bool).
+        """
+        n = len(posts)
+        out_f = self.decode_posts(posts, [False] * n, num_oligos)
+        out_r = self.decode_posts(posts, [True] * n, num_oligos)
+        use_rc = out_r.best_score > out_f.best_score  # tie -> fwd
+        pick = lambda a, b: np.where(  # noqa: E731
+            use_rc.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+        merged = ListDecodeOutcome(
+            msgs=pick(out_r.msgs, out_f.msgs),
+            valid=pick(out_r.valid, out_f.valid),
+            index=pick(out_r.index, out_f.index),
+            payload=pick(out_r.payload, out_f.payload),
+            chosen_msg=pick(out_r.chosen_msg, out_f.chosen_msg),
+            best_score=pick(out_r.best_score, out_f.best_score))
+        return merged, use_rc
 
     def classify(self, msgs: np.ndarray, valid: np.ndarray,
                  num_oligos: int) -> ListDecodeOutcome:

@@ -118,6 +118,68 @@ def main():
     n_top = sum(c["top_is_true"] for c in cases)
     print(f"decode goldens: {len(cases)} cases, {n_top} with true top-1")
 
+    sync_goldens(rng)
+
+
+def sync_goldens(rng):
+    """Decode goldens with periodic sync markers (--sync-marker/--sync-period,
+    viterbi_convolutional_code.cpp:388-414, 968-975).
+
+    Sync markers constrain *decode* state validity only; the encoder is
+    unchanged, so the message itself must embed the marker every period
+    (forward-strand positions, also under RC)."""
+    dec_dir = GOLDEN / "sync"
+    dec_dir.mkdir(parents=True, exist_ok=True)
+    cases = []
+    for mem, rate, rc, list_size, dev, marker, period in [
+        (6, 1, False, 1, None, "110", 9),
+        (6, 1, False, 4, None, "110", 9),
+        (6, 1, True, 4, None, "110", 9),
+        (6, 3, False, 4, 8, "10", 12),
+        (6, 5, True, 8, 8, "0", 7),
+        (8, 1, False, 4, 8, "110", 9),
+        (8, 5, True, 8, 8, "01", 10),
+    ]:
+        msg_len = pick_msg_len(mem, rate, 48)
+        code = make_conv_code(ConvCodeConfig(mem=mem, rate=rate,
+                                             msg_len=msg_len))
+        msg = rng.integers(0, 2, size=(1, msg_len), dtype=np.uint8)
+        mk = np.array([int(c) for c in marker], np.uint8)
+        for i in range(0, msg_len, period):
+            n = min(len(mk), msg_len - i)
+            msg[0, i: i + n] = mk[:n]
+        bases = conv_encode_bases(code, msg)[0]
+        post = synthetic_post(bases, rng, rc=rc, noise=1.0, stay_prob=0.35)
+        name = f"m{mem}_r{rate}_rc{int(rc)}_l{list_size}_s{marker}p{period}"
+        post_file = dec_dir / f"{name}.post"
+        post.astype("<f4").tofile(post_file)
+        out_file = dec_dir / f"{name}.lists"
+        cmd = [REF_BIN, "-m", "decode", "-i", str(post_file),
+               "-o", str(out_file), "--mem-conv", str(mem),
+               "--msg-len", str(msg_len), "-l", str(list_size),
+               "-r", str(rate), "-t", "2",
+               "--sync-marker", marker, "--sync-period", str(period)]
+        if rc:
+            cmd.append("--rc")
+        if dev is not None:
+            cmd += ["--max-deviation", str(dev)]
+        subprocess.run(cmd, check=True, capture_output=True)
+        lists = out_file.read_text().split()
+        cases.append({"mem": mem, "rate": rate, "rc": rc,
+                      "list_size": list_size, "msg_len": msg_len,
+                      "max_deviation": dev, "sync_marker": marker,
+                      "sync_period": period, "name": name,
+                      "true_msg": "".join(map(str, msg[0])),
+                      "n_lists": len(lists),
+                      "top_is_true": lists[0] == "".join(map(str, msg[0]))})
+    with open(dec_dir / "manifest.json", "w") as f:
+        json.dump(cases, f, indent=1)
+    n_top = sum(c["top_is_true"] for c in cases)
+    print(f"sync goldens: {len(cases)} cases, {n_top} with true top-1")
+
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "sync":
+        sync_goldens(np.random.default_rng(20260820))
+    else:
+        main()
