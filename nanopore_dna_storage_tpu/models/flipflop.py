@@ -79,13 +79,66 @@ def load_npz(path: str) -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(data[k]) for k in data.files}
 
 
+def _flappie_conv_edge_plan(T: int, winlen: int, stride: int):
+    """Columns where flappie's convolution differs from symmetric zero-pad.
+
+    flappie's blocked right-edge bookkeeping (layers.c:235-256) can assign
+    the final partial window to the wrong output column and leave the true
+    last column bias-only (e.g. T=1000, winlen=7, stride=2: col 498 receives
+    col 499's 5-tap window; col 499 = bias). Bit-parity with the reference
+    basecaller requires reproducing this, so we simulate the reference's
+    loop bookkeeping (left edge :202-209, blocked main :219-233, right edge
+    :235-256) for the edge columns and return {col: [(tap, x_index), ...]}
+    for every column whose coverage differs from the symmetric-pad conv.
+    """
+    padL = (winlen - 1) // 2
+    padR = winlen // 2
+    ncolC = -(-T // stride)
+    nstepC = -(-winlen // stride)
+    nstepX = stride * nstepC
+    ncolsL = -(-padL // stride)
+    shiftX_L = ncolsL * stride - padL
+    cover = {}
+    for w in range(0, padL, stride):  # left edge
+        off = padL - w
+        cover.setdefault(w // stride, []).extend(
+            (k, k - off) for k in range(off, winlen))
+    for w in range(0, winlen, stride):  # blocked main loop
+        ncol_proc = (T - shiftX_L - w) // nstepX
+        for j in range(ncol_proc):
+            oc = ncolsL + w // stride + j * nstepC
+            xoff = shiftX_L + w + j * nstepX
+            if oc < ncolC:
+                cover.setdefault(oc, []).extend(
+                    (k, xoff + k) for k in range(winlen))
+    maxCol = (T - shiftX_L) // nstepX
+    rem = (T - shiftX_L) % nstepX
+    offsetC_R = ncolsL + nstepC * (maxCol - 1) + rem // stride + 1
+    offsetX_R = T - winlen + 1
+    startR = stride - (padL + T - winlen) % stride - 1
+    for w in range(startR, padR, stride):  # right edge
+        oc = offsetC_R + w // stride
+        if oc < ncolC:
+            cover.setdefault(oc, []).extend(
+                (k, offsetX_R + w + k) for k in range(winlen - (w + 1)))
+    plan = {}
+    for oc in range(ncolC):
+        want = sorted((k, oc * stride + k - padL) for k in range(winlen)
+                      if 0 <= oc * stride + k - padL < T)
+        got = sorted(cover.get(oc, []))
+        if got != want:
+            plan[oc] = got
+    return plan
+
+
 def conv_same_stride(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                      stride: int) -> jnp.ndarray:
     """1D conv matching flappie's convolution (layers.c:173-260).
 
-    x: [B, T, 1]; w: [winlen, 1, nf]. Output column c covers input positions
-    [c*stride - padL, ...]; padL = (winlen-1)//2, zero padding, out length
-    ceil(T / stride).
+    x: [B, T, insize]; w: [winlen, insize, nf]. Output column c covers input
+    positions [c*stride - padL, ...]; padL = (winlen-1)//2, zero padding,
+    out length ceil(T / stride) — except the reference's own edge quirks,
+    reproduced exactly via _flappie_conv_edge_plan.
     """
     winlen = w.shape[0]
     pad_l = (winlen - 1) // 2
@@ -93,6 +146,12 @@ def conv_same_stride(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding=[(pad_l, pad_r)],
         dimension_numbers=("NHC", "HIO", "NHC"))
+    for oc, pairs in _flappie_conv_edge_plan(x.shape[1], winlen,
+                                             stride).items():
+        val = jnp.zeros((x.shape[0], w.shape[2]), out.dtype)
+        for k, i in pairs:
+            val = val + x[:, i, :] @ w[k]
+        out = out.at[:, oc, :].set(val)
     return out + b
 
 
@@ -166,7 +225,9 @@ def flipflop_transitions(params: Dict[str, jnp.ndarray], cfg: FlipflopConfig,
                              reverse=(d == "b")))(xp)
 
     raw = jnp.tanh(x @ params["ff_w"] + params["ff_b"])
-    scaled = raw * (cfg.temperature / 5.0)  # layers.c:1084-1086
+    # shift_scale_matrix_inplace DIVIDES by temperature/5
+    # (layers.c:1084, flappie_matrix.c:625-633): scale = 5/temperature
+    scaled = raw * (5.0 / cfg.temperature)
     nblk = -(-nsamples // cfg.stride)
     logz = jax.vmap(crf_log_partition)(scaled, nblk) / nblk.astype(scaled.dtype)
     return scaled - logz[:, None, None]

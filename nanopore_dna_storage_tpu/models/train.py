@@ -89,8 +89,10 @@ def crf_loss(params, cfg: ff.FlipflopConfig, signal: jnp.ndarray,
         xp = x @ params[f"gru{i}_iw"] + params[f"gru{i}_b"]
         x = jax.vmap(partial(ff.grumod_scan, sw=params[f"gru{i}_sw"],
                              reverse=(d == "b")))(xp)
+    # same head scale as inference: shift_scale DIVIDES by temperature/5
+    # (flappie layers.c:1084, flappie_matrix.c:625-633)
     trans = jnp.tanh(x @ params["ff_w"] + params["ff_b"]) * \
-        (cfg.temperature / 5.0)
+        (5.0 / cfg.temperature)
     nblk = -(-nsamples // cfg.stride)
     logz = jax.vmap(ff.crf_log_partition)(trans, nblk)
     seq_sc = jax.vmap(sequence_log_score)(trans, seq_states, nblk, seqlens)

@@ -26,7 +26,10 @@ _ARRAY_RE = re.compile(
 _MAT_RE = re.compile(
     r"_Mat\s+_(\w+)\s*=\s*\{\s*\.nr\s*=\s*(\d+)\s*,\s*\.nrq\s*=\s*(\d+)\s*,"
     r"\s*\.nc\s*=\s*(\d+)", re.DOTALL)
-_STRIDE_CONST_RE = re.compile(r"int\s+(\w+_stride)\s*=\s*(\d+)")
+# the generator emits `#define conv_<tag>_stride N`
+# (parse_flipflop_guppy.py:93); accept an `int ... = N;` form too
+_STRIDE_CONST_RE = re.compile(
+    r"(?:#define\s+(\w+_stride)\s+(\d+)|int\s+(\w+_stride)\s*=\s*(\d+))")
 
 
 def parse_model_header(text: str) -> Tuple[Dict[str, np.ndarray], Dict[str, int]]:
@@ -46,8 +49,10 @@ def parse_model_header(text: str) -> Tuple[Dict[str, np.ndarray], Dict[str, int]
         padded = nrq * 4
         mat = flat.reshape(nc, padded)[:, :nr].T  # column-major -> (nr, nc)
         mats[name] = np.ascontiguousarray(mat)
-    consts = {m.group(1): int(m.group(2))
-              for m in _STRIDE_CONST_RE.finditer(text)}
+    consts = {}
+    for m in _STRIDE_CONST_RE.finditer(text):
+        name = m.group(1) or m.group(3)
+        consts[name] = int(m.group(2) or m.group(4))
     return mats, consts
 
 
@@ -60,8 +65,20 @@ def params_from_header(path: str, model_id: str = "r941native"):
         mats, consts = parse_model_header(f.read())
     tag = f"rnnrf_flipflop_{model_id}"
     p = {}
-    conv_w = mats[f"conv_{tag}_W"]  # (winlen*insize, nfilter)
-    p["conv_w"] = conv_w[:, None, :] if conv_w.ndim == 2 else conv_w
+    # conv W is stored tap-padded: each tap's `insize` input rows are padded
+    # to the input matrix's SSE stride ldX = 4*ceil(insize/4), so
+    # nr = (winlen-1)*ldX + insize (parse_flipflop_guppy.py:91 emits
+    # nr = winlen*4 - 3 for insize=1; convolution() indexes taps by
+    # ldFeature = ldX, layers.c:204-208).
+    conv_raw = mats[f"conv_{tag}_W"]  # (nr, nfilter)
+    insize = consts.get(f"conv_{tag}_insize", 1)
+    ldx = 4 * (-(-insize // 4))
+    winlen = (conv_raw.shape[0] - insize) // ldx + 1
+    nf = conv_raw.shape[1]
+    padded = np.zeros((winlen * ldx, nf), conv_raw.dtype)
+    padded[: conv_raw.shape[0]] = conv_raw
+    p["conv_w"] = np.ascontiguousarray(
+        padded.reshape(winlen, ldx, nf)[:, :insize, :])
     p["conv_b"] = mats[f"conv_{tag}_b"].reshape(-1)
     for i, lname in enumerate(["gruB1", "gruF2", "gruB3", "gruF4", "gruB5"]):
         p[f"gru{i}_iw"] = mats[f"{lname}_{tag}_iW"]
@@ -94,9 +111,15 @@ def write_model_header(path: str, params: Dict[str, np.ndarray],
                 f"\n\t.data.f = __{name}\n}};\n\n")
 
     with open(path, "w") as f:
-        f.write(f"int conv_{tag}_stride = {stride};\n")
-        conv_w = np.asarray(params["conv_w"])
-        fmt_mat(f, f"conv_{tag}_W", conv_w.reshape(-1, conv_w.shape[-1]))
+        f.write(f"#define conv_{tag}_stride {stride}\n")
+        conv_w = np.asarray(params["conv_w"])  # (winlen, insize, nf)
+        winlen, insize, nf = conv_w.shape
+        ldx = 4 * (-(-insize // 4))
+        padded = np.zeros((winlen, ldx, nf), conv_w.dtype)
+        padded[:, :insize, :] = conv_w
+        nr = (winlen - 1) * ldx + insize
+        fmt_mat(f, f"conv_{tag}_W",
+                padded.reshape(winlen * ldx, nf)[:nr])
         fmt_mat(f, f"conv_{tag}_b", np.asarray(params["conv_b"])[:, None])
         names = ["gruB1", "gruF2", "gruB3", "gruF4", "gruB5"]
         for i, lname in enumerate(names):

@@ -35,6 +35,7 @@ Design notes (docs/DESIGN.md §5 has the long version):
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, NamedTuple
 
 import jax
@@ -59,7 +60,13 @@ HASH_P2 = 1073741783
 CRF_MASK = tb.crf_move_mask()  # bool [8, 8]
 G_LISTS = [tuple(int(g) for g in range(NCRF) if CRF_MASK[f, g])
            for f in range(NCRF)]
-NQ_F = [1 + NC * len(gl) for gl in G_LISTS]
+# One merge list per CRF predecessor g: for every supported code the map
+# (dropped bits c) -> emitted base is injective per (pattern, conv state)
+# because bit 0 of both generator polynomials is 1 (cpp:269-293), so each
+# destination (f, g, lane) has AT MOST ONE valid conv candidate c. The
+# kernel compacts the NC candidate planes down to one plane per emitted
+# base before the merge (asserted per-config in build_consts).
+NQ_F = [1 + len(gl) for gl in G_LISTS]
 NQ_MAX = max(NQ_F)
 
 
@@ -114,7 +121,9 @@ class PallasConsts(NamedTuple):
     bfly: np.ndarray  # int32 [2 kvar, NST, CT] butterfly take masks
     stay_idx: np.ndarray  # int32 [8] flat post index of stays
     move_idx: np.ndarray  # int32 [8, 8]
-    qmap: np.ndarray  # int32 [8, NQ_MAX, 2] local q -> (c, g); -1 pad
+    qmap: np.ndarray  # int32 [8, NQ_MAX] local q -> CRF predecessor g; -1 pad
+    cstar: np.ndarray  # int32 [4 pat, 4 base, C] the unique conv candidate c
+    #                    emitting base beta into rev-state lane; -1 if none
     init_rev: int
     final_rev: int
     ct: int
@@ -139,17 +148,25 @@ def build_consts(spec, tabs: tb.TrellisTables, ct: int | None = None
     bfly = np.zeros((2, max(nst), CT), np.int32)
     bfly[0, : nst[0]] = m1
     bfly[1, : nst[1]] = m2
-    qmap = np.full((NCRF, NQ_MAX, 2), -1, np.int32)
+    qmap = np.full((NCRF, NQ_MAX), -1, np.int32)
     for f in range(NCRF):
-        qi = 1
-        for c in range(NC):
-            for g in G_LISTS[f]:
-                qmap[f, qi] = (c, g)
-                qi += 1
+        for qi, g in enumerate(G_LISTS[f]):
+            qmap[f, 1 + qi] = g
+    # the unique candidate c emitting each base (injectivity assert: the
+    # compacted merge is exact only if no two c's share a base per lane)
+    cstar = np.full((4, 4, C), -1, np.int32)
+    for p in range(4):
+        ncs = 2 if p == 0 else 4
+        for beta in range(4):
+            hit = borev[p, :ncs, :] == beta  # [ncs, C]
+            assert (hit.sum(axis=0) <= 1).all(), \
+                f"base map not injective (pattern {p})"
+            any_hit = hit.any(axis=0)
+            cstar[p, beta] = np.where(any_hit, hit.argmax(axis=0), -1)
     return PallasConsts(
         perm=perm, borev=borev, nbrev=nbrev, valid=valid, pattern=pattern,
         bfly=bfly, stay_idx=tb.stay_post_index(), move_idx=tb.move_post_index(),
-        qmap=qmap, init_rev=int(perm[code.initial_state]),
+        qmap=qmap, cstar=cstar, init_rev=int(perm[code.initial_state]),
         final_rev=int(perm[code.final_state]), ct=CT,
         nstages=nst)
 
@@ -172,7 +189,18 @@ def _stage_shifts(ct: int, nst: int):
 
 def _make_kernel(spec, consts: PallasConsts, interpret: bool):
     """Build the per-block ACS kernel (one grid step per (window position,
-    conv tile); CRF destinations unrolled inside)."""
+    conv tile); CRF destinations unrolled inside).
+
+    v2 structure (see docs/DESIGN.md §5): the NC conv-candidate planes are
+    expanded once per (kvar, c) with a fused 3-array butterfly (scores and
+    both hashes ride one stacked f32 scratch), then COMPACTED by emitted
+    base — injectivity of c -> base per lane means each (g, base) keeps at
+    most one candidate — so the per-destination merge runs over
+    1 + |G_f| <= 8 sorted lists instead of 1 + 4*|G_f| <= 29. The merge
+    while-loop exits as soon as every lane is done (L slots filled or all
+    heads exhausted), and fully inactive steps (t >= nblk) skip straight to
+    a buffer passthrough.
+    """
     C = spec.code.nstate_conv
     CT = consts.ct
     L = spec.list_size
@@ -181,174 +209,226 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
     sh_k2 = _stage_shifts(CT, consts.nstages[0])
     sh_k4 = _stage_shifts(CT, consts.nstages[1])
     roll = jnp.roll if interpret else pltpu.roll
-
-    def butterfly(xs, masks, shifts):
-        ys = list(xs)
-        for s, d in enumerate(shifts):
-            take = masks[s] != 0
-            ys = [jnp.where(take, roll(y, d, y.ndim - 1), y) for y in ys]
-        return ys
-
     small = consts.ct == spec.code.nstate_conv  # one conv tile
+    i32f = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.float32)
+    f32i = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.int32)
 
     def kernel(start_ref, p_sc, p_h1, p_h2, *rest):
         if small:
             (r_sc, r_h1, r_h2, s_sc, s_h1, s_h2, stay_tr, move_tr,
              borev, nbrev, valid, bfly, pattern, active,
-             o_sc, o_h1, o_h2, o_sel) = rest
+             o_sc, o_h1, o_h2, o_sel, xpd, cnd) = rest
         else:
             (k2_sc, k2_h1, k2_h2, k4_sc, k4_h1, k4_h2,
              s_sc, s_h1, s_h2, stay_tr, move_tr,
              borev, nbrev, valid, bfly, pattern, active,
-             o_sc, o_h1, o_h2, o_sel) = rest
+             o_sc, o_h1, o_h2, o_sel, xpd, cnd) = rest
         w = pl.program_id(0)
         pos = start_ref[0] + w
         pat = pattern[pos]
         is1 = pat == 0
         act = active[0] != 0
 
-        psc, ph1, ph2 = p_sc[0], p_h1[0], p_h2[0]  # [8, L, CT]
+        @pl.when(jnp.logical_not(act))
+        def _passthrough():
+            # t >= nblk: the reference never runs these steps; keep the
+            # stale buffer bit-for-bit and emit no selections.
+            for f in range(NCRF):
+                o_sc[0, f] = s_sc[0, f]
+                o_h1[0, f] = s_h1[0, f]
+                o_h2[0, f] = s_h2[0, f]
+            o_sel[0] = jnp.full((NCRF * L, CT), -1, jnp.int16)
 
-        # ---- expand move sources to destination lanes (rev space) -------
-        # dest lane r's candidate c lives at source (r >> logk | qoff*C/k).
-        # Small codes (one tile): static circular roll brings the slice to
-        # lane 0. Large codes: reshaped HBM views deliver the per-candidate
-        # contiguous >=128-lane slice, embedded by lane concat. Either way a
-        # mask butterfly then produces y[j] = slice[j >> logk].
-        def expand(kvar, c):
-            # The butterfly only ever reads source lanes [0, CT/k), so the
-            # rest of the CT-wide working array may hold garbage: a cyclic
-            # roll (small codes, one tile) or a k-fold tile (large codes)
-            # places the slice without a lane concat, which Mosaic rejects
-            # on values sliced out of 5-D blocks.
-            k = 2 << kvar
-            n = CT // k
-            qoff = c if kvar == 0 else ((c & 1) << 1) | (c >> 1)
+        @pl.when(act)
+        def _main():
+            psc, ph1, ph2 = p_sc[0], p_h1[0], p_h2[0]  # [8, L, CT]
+
+            # hoisted butterfly take masks (shared by all expansions)
+            takes2 = [bfly[0, s] != 0 for s in range(len(sh_k2))]
+            takes4 = [bfly[1, s] != 0 for s in range(len(sh_k4))]
+
+            def butterfly(x, takes, shifts):
+                for take, d in zip(takes, shifts):
+                    x = jnp.where(take, roll(x, d, x.ndim - 1), x)
+                return x
+
+            # ---- expand move sources to destination lanes (rev space) ----
+            # dest lane r's candidate c lives at source
+            # (r >> logk | qoff*C/k). Scores and both hashes are stacked
+            # into one f32 scratch so each expansion is a single 3x-wide
+            # butterfly. The butterfly only ever reads source lanes
+            # [0, CT/k), so the rest of the working array may hold garbage:
+            # a cyclic roll (small codes, one tile) or a k-fold tile (large
+            # codes) places the slice without a lane concat, which Mosaic
+            # rejects on values sliced out of 5-D blocks.
             if small:
-                a = (qoff * n) % CT
-                segs = [r[0] for r in (r_sc, r_h1, r_h2)]  # [8, L, CT]
-                if a:
-                    segs = [roll(s, CT - a, 2) for s in segs]
-            else:
-                view3 = (k2_sc, k2_h1, k2_h2) if kvar == 0 else \
-                    (k4_sc, k4_h1, k4_h2)
-                segs = [jnp.tile(v[0][:, :, qoff, :], (1, 1, k))
-                        for v in view3]
-            return butterfly(segs, bfly[kvar],
-                             sh_k2 if kvar == 0 else sh_k4)
+                xpd[0] = r_sc[0]
+                xpd[1] = i32f(r_h1[0])
+                xpd[2] = i32f(r_h2[0])
 
-        mv = {}
-        for c in range(2):
-            sc_e, h1_e, h2_e = expand(0, c)
-            h1_e = _hupd(h1_e, 1, nbrev[0][None, None, :], HASH_P1)
-            h2_e = _hupd(h2_e, 1, nbrev[0][None, None, :], HASH_P2)
-            mv[(0, c)] = (sc_e, h1_e, h2_e)
-        for c in range(NC):
-            sc_e, h1_e, h2_e = expand(1, c)
-            h1_e = _hupd(h1_e, 2, nbrev[1][None, None, :], HASH_P1)
-            h2_e = _hupd(h2_e, 2, nbrev[1][None, None, :], HASH_P2)
-            mv[(1, c)] = (sc_e, h1_e, h2_e)
+            def expand(kvar, c):
+                k = 2 << kvar
+                n = CT // k
+                qoff = c if kvar == 0 else ((c & 1) << 1) | (c >> 1)
+                if small:
+                    a = (qoff * n) % CT
+                    seg = xpd[:]  # [3, 8, L, CT]
+                    if a:
+                        seg = roll(seg, CT - a, 3)
+                else:
+                    view3 = (k2_sc, k2_h1, k2_h2) if kvar == 0 else \
+                        (k4_sc, k4_h1, k4_h2)
+                    xpd[0] = jnp.tile(view3[0][0][:, :, qoff, :], (1, 1, k))
+                    xpd[1] = i32f(
+                        jnp.tile(view3[1][0][:, :, qoff, :], (1, 1, k)))
+                    xpd[2] = i32f(
+                        jnp.tile(view3[2][0][:, :, qoff, :], (1, 1, k)))
+                    seg = xpd[:]
+                y = butterfly(seg, takes2 if kvar == 0 else takes4,
+                              sh_k2 if kvar == 0 else sh_k4)
+                return y[0], f32i(y[1]), f32i(y[2])
 
-        posgate = pos > 1
-        wm = (valid[pl.ds(pos, 1)][0] != 0) & act  # [CT]
-        sels = []
-        iL = jax.lax.broadcasted_iota(jnp.int32, (L, CT), 0)
+            # ---- compact candidates by emitted base ----------------------
+            # cand[beta] = the one (c-compacted) move candidate plane per
+            # CRF predecessor g: (sc [8,L,CT], h1, h2), hashes updated.
+            # The pattern is a single scalar per kernel invocation, so only
+            # the matching kvar's expansions run (predicated through the
+            # cnd scratch); the other half of the butterfly work is skipped
+            # entirely.
+            posgate = pos > 1
 
-        for f in range(NCRF):
-            gl = G_LISTS[f]
-            nq = NQ_F[f]
-            base_f = f % 4
-            rows_sc = [psc[f] + stay_tr[0, f]]
-            rows_h1 = [ph1[f]]
-            rows_h2 = [ph2[f]]
-            for c in range(NC):
-                bmatch = (borev[pl.ds(pat, 1), c][0] == base_f) & posgate
-                sc2, h12, h22 = mv[(0, min(c, 1))]
-                sc4, h14, h24 = mv[(1, c)]
+            def make_cand(kvar):
+                ncs = 2 if kvar == 0 else NC
+                shift = 1 if kvar == 0 else 2
+                nb = nbrev[kvar][None, None, :]
+                NEGa = jnp.full((NCRF, L, CT), NEG, jnp.float32)
+                Z = jnp.zeros((NCRF, L, CT), jnp.int32)
+                acc = [[NEGa, Z, Z] for _ in range(4)]
+                for c in range(ncs):
+                    sc_e, h1_e, h2_e = expand(kvar, c)
+                    bo_c = borev[0, c] if kvar == 0 else \
+                        borev[pl.ds(pat, 1), c][0]  # [CT]
+                    for beta in range(4):
+                        mb = (bo_c == beta)[None, None, :]
+                        a = acc[beta]
+                        a[0] = jnp.where(mb, sc_e, a[0])
+                        a[1] = jnp.where(mb, h1_e, a[1])
+                        a[2] = jnp.where(mb, h2_e, a[2])
+                for beta in range(4):
+                    sc_b, h1_b, h2_b = acc[beta]
+                    cnd[3 * beta] = jnp.where(posgate, sc_b, NEG)
+                    cnd[3 * beta + 1] = i32f(_hupd(h1_b, shift, nb, HASH_P1))
+                    cnd[3 * beta + 2] = i32f(_hupd(h2_b, shift, nb, HASH_P2))
+
+            @pl.when(is1)
+            def _():
+                make_cand(0)
+
+            @pl.when(jnp.logical_not(is1))
+            def _():
+                make_cand(1)
+
+            cand = [(cnd[3 * b], f32i(cnd[3 * b + 1]), f32i(cnd[3 * b + 2]))
+                    for b in range(4)]
+
+            wm = (valid[pl.ds(pos, 1)][0] != 0) & act  # [CT]
+            sels = []
+            iL = jax.lax.broadcasted_iota(jnp.int32, (L, CT), 0)
+
+            for f in range(NCRF):
+                gl = G_LISTS[f]
+                nq = NQ_F[f]
+                beta = f % 4
+                c_sc, c_h1, c_h2 = cand[beta]
+                rows_sc = [psc[f] + stay_tr[0, f]]
+                rows_h1 = [ph1[f]]
+                rows_h2 = [ph2[f]]
                 for g in gl:
-                    v_sc = jnp.where(is1, sc2[g], sc4[g])
-                    v_h1 = jnp.where(is1, h12[g], h14[g])
-                    v_h2 = jnp.where(is1, h22[g], h24[g])
-                    tr = move_tr[f, g]
-                    rows_sc.append(jnp.where(bmatch[None, :], v_sc + tr, NEG))
-                    rows_h1.append(v_h1)
-                    rows_h2.append(v_h2)
-            srcall_sc = jnp.stack(rows_sc)  # [NQ, L, CT]
-            srcall_h1 = jnp.stack(rows_h1)
-            srcall_h2 = jnp.stack(rows_h2)
-            iNQ = jax.lax.broadcasted_iota(jnp.int32, (nq, CT), 0)
+                    rows_sc.append(c_sc[g] + move_tr[f, g])
+                    rows_h1.append(c_h1[g])
+                    rows_h2.append(c_h2[g])
+                srcall_sc = jnp.stack(rows_sc)  # [NQ, L, CT]
+                srcall_h1 = jnp.stack(rows_h1)
+                srcall_h2 = jnp.stack(rows_h2)
+                iNQ = jax.lax.broadcasted_iota(jnp.int32, (nq, CT), 0)
 
-            def cond(st, _nq=nq):
-                rnd, _, _, _, _, _, _, _, _, acc = st
-                if lse:
-                    return rnd < R
-                return (rnd < R) & (jnp.min(acc) < L)
+                def cond(st, _nq=nq):
+                    rnd, hs, _, _, _, _, _, _, _, acc = st
+                    if lse:
+                        return rnd < R
+                    # done = L slots filled OR every head exhausted
+                    # (unreachable states exit after one round)
+                    live = (acc < L) & (jnp.max(hs, axis=0) > NEG)
+                    return (rnd < R) & jnp.any(live)
 
-            def body(st, _nq=nq, _iNQ=iNQ, _sall=(srcall_sc, srcall_h1,
-                                                  srcall_h2)):
-                (rnd, hs, hh1, hh2, hptr, osc, oh1, oh2, osel, acc) = st
-                sall_sc, sall_h1, sall_h2 = _sall
-                best = jnp.max(hs, axis=0)  # [CT]
-                bq = jnp.argmax(hs, axis=0)
-                ok = best > NEG
-                oh = _iNQ == bq[None, :]
-                ch1 = jnp.where(oh, hh1, 0).sum(0)
-                ch2 = jnp.where(oh, hh2, 0).sum(0)
-                ps = jnp.where(oh, hptr, 0).sum(0)
-                lidx = jnp.clip(ps, 0, L - 1)
+                def body(st, _nq=nq, _iNQ=iNQ, _sall=(srcall_sc, srcall_h1,
+                                                      srcall_h2)):
+                    (rnd, hs, hh1, hh2, hptr, osc, oh1, oh2, osel, acc) = st
+                    sall_sc, sall_h1, sall_h2 = _sall
+                    best = jnp.max(hs, axis=0)  # [CT]
+                    bq = jnp.argmax(hs, axis=0)
+                    ok = best > NEG
+                    oh = _iNQ == bq[None, :]
+                    ch1 = jnp.where(oh, hh1, 0).sum(0)
+                    ch2 = jnp.where(oh, hh2, 0).sum(0)
+                    ps = jnp.where(oh, hptr, 0).sum(0)
+                    lidx = jnp.clip(ps, 0, L - 1)
 
-                eq = (oh1 == ch1[None]) & (oh2 == ch2[None]) & (iL < acc[None])
-                seen = eq.astype(jnp.int32).max(0) > 0
-                if lse:
-                    osc = jnp.where(eq & ok[None],
-                                    jnp.logaddexp(osc, best[None]), osc)
-                accept = ok & (~seen) & (acc < L)
-                put = (iL == acc[None]) & accept[None]
-                osc = jnp.where(put, best[None], osc)
-                oh1 = jnp.where(put, ch1[None], oh1)
-                oh2 = jnp.where(put, ch2[None], oh2)
-                osel = jnp.where(put, bq[None] * 64 + lidx[None], osel)
-                acc = acc + accept.astype(jnp.int32)
+                    eq = (oh1 == ch1[None]) & (oh2 == ch2[None]) & \
+                        (iL < acc[None])
+                    seen = eq.astype(jnp.int32).max(0) > 0
+                    if lse:
+                        osc = jnp.where(eq & ok[None],
+                                        jnp.logaddexp(osc, best[None]), osc)
+                    accept = ok & (~seen) & (acc < L)
+                    put = (iL == acc[None]) & accept[None]
+                    osc = jnp.where(put, best[None], osc)
+                    oh1 = jnp.where(put, ch1[None], oh1)
+                    oh2 = jnp.where(put, ch2[None], oh2)
+                    osel = jnp.where(put, bq[None] * 64 + lidx[None], osel)
+                    acc = acc + accept.astype(jnp.int32)
 
-                adv = oh & ok[None]
-                hptr = hptr + adv.astype(jnp.int32)
-                for l in range(1, L):
-                    m = adv & (hptr == l)
-                    hs = jnp.where(m, sall_sc[:, l, :], hs)
-                    hh1 = jnp.where(m, sall_h1[:, l, :], hh1)
-                    hh2 = jnp.where(m, sall_h2[:, l, :], hh2)
-                hs = jnp.where(adv & (hptr >= L), NEG, hs)
-                return (rnd + 1, hs, hh1, hh2, hptr, osc, oh1, oh2, osel,
-                        acc)
+                    adv = oh & ok[None]
+                    hptr = hptr + adv.astype(jnp.int32)
+                    for l in range(1, L):
+                        m = adv & (hptr == l)
+                        hs = jnp.where(m, sall_sc[:, l, :], hs)
+                        hh1 = jnp.where(m, sall_h1[:, l, :], hh1)
+                        hh2 = jnp.where(m, sall_h2[:, l, :], hh2)
+                    hs = jnp.where(adv & (hptr >= L), NEG, hs)
+                    return (rnd + 1, hs, hh1, hh2, hptr, osc, oh1, oh2,
+                            osel, acc)
 
-            st0 = (
-                jnp.int32(0),
-                srcall_sc[:, 0, :], srcall_h1[:, 0, :], srcall_h2[:, 0, :],
-                jnp.zeros((nq, CT), jnp.int32),
-                jnp.full((L, CT), NEG, jnp.float32),
-                jnp.zeros((L, CT), jnp.int32),
-                jnp.zeros((L, CT), jnp.int32),
-                jnp.full((L, CT), -1, jnp.int32),
-                jnp.zeros((CT,), jnp.int32),
-            )
-            st = jax.lax.while_loop(cond, body, st0)
-            (_, _, _, _, _, osc, oh1, oh2, osel, _) = st
+                st0 = (
+                    jnp.int32(0),
+                    srcall_sc[:, 0, :], srcall_h1[:, 0, :],
+                    srcall_h2[:, 0, :],
+                    jnp.zeros((nq, CT), jnp.int32),
+                    jnp.full((L, CT), NEG, jnp.float32),
+                    jnp.zeros((L, CT), jnp.int32),
+                    jnp.zeros((L, CT), jnp.int32),
+                    jnp.full((L, CT), -1, jnp.int32),
+                    jnp.zeros((CT,), jnp.int32),
+                )
+                st = jax.lax.while_loop(cond, body, st0)
+                (_, _, _, _, _, osc, oh1, oh2, osel, _) = st
 
-            # position 0 (padded row 1): stay-only, slot 0 scored, all list
-            # slots carried through unchanged (cpp:706-713)
-            isp0 = pos == 1
-            p0 = jnp.where(iL == 0, psc[f] + stay_tr[0, f], NEG)
-            osc = jnp.where(isp0, p0, osc)
-            oh1 = jnp.where(isp0, ph1[f], oh1)
-            oh2 = jnp.where(isp0, ph2[f], oh2)
-            osel = jnp.where(isp0, iL, osel)
+                # position 0 (padded row 1): stay-only, slot 0 scored, all
+                # list slots carried through unchanged (cpp:706-713)
+                isp0 = pos == 1
+                p0 = jnp.where(iL == 0, psc[f] + stay_tr[0, f], NEG)
+                osc = jnp.where(isp0, p0, osc)
+                oh1 = jnp.where(isp0, ph1[f], oh1)
+                oh2 = jnp.where(isp0, ph2[f], oh2)
+                osel = jnp.where(isp0, iL, osel)
 
-            o_sc[0, f] = jnp.where(wm[None], osc, s_sc[0, f])
-            o_h1[0, f] = jnp.where(wm[None], oh1, s_h1[0, f])
-            o_h2[0, f] = jnp.where(wm[None], oh2, s_h2[0, f])
-            sels.append(jnp.where(wm[None], osel, -1))
+                o_sc[0, f] = jnp.where(wm[None], osc, s_sc[0, f])
+                o_h1[0, f] = jnp.where(wm[None], oh1, s_h1[0, f])
+                o_h2[0, f] = jnp.where(wm[None], oh2, s_h2[0, f])
+                sels.append(jnp.where(wm[None], osel, -1))
 
-        o_sel[0] = jnp.stack(sels).reshape(NCRF * L, CT).astype(jnp.int16)
+            o_sel[0] = jnp.stack(sels).reshape(NCRF * L, CT).astype(
+                jnp.int16)
 
     return kernel
 
@@ -423,7 +503,9 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(W, n_ct), in_specs=in_specs,
-            out_specs=out_specs),
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((3, NCRF, L, CT), jnp.float32),
+                            pltpu.VMEM((12, NCRF, L, CT), jnp.float32)]),
         out_shape=out_shape,
         input_output_aliases={stale_base: 0, stale_base + 1: 1,
                               stale_base + 2: 2},
@@ -514,6 +596,7 @@ def _traceback(spec, consts, tbdev, sels, starts, nblk, tlo, thi):
     T = sels.shape[0]
     last_row = spec.code.nstate_pos - 1 + 1
     qmap, pattern, nbrev = tbdev["qmap"], tbdev["pattern"], tbdev["nbrev"]
+    cstar = tbdev["cstar"]  # [4 pat, 4 base, C]
 
     def lastwrite(row, tmax, par):
         x = jnp.minimum(tmax, thi[row])
@@ -542,12 +625,16 @@ def _traceback(spec, consts, tbdev, sels, starts, nblk, tlo, thi):
         code = jnp.take(sel_t.reshape(-1), flat).astype(jnp.int32)
         q = jnp.clip(code // 64, 0, NQ_MAX - 1)
         lsrc = jnp.clip(code % 64, 0, L - 1)
-        cg = qmap[st["f"], q]
-        c, g = cg[:, 0], cg[:, 1]
+        g = qmap[st["f"], q]  # CRF predecessor
         is_stay = q == 0
         pat = pattern[st["pos"]]
         kvar = jnp.where(pat == 0, 0, 1)
         nb = nbrev[kvar, st["conv"]]
+        # the conv candidate is determined by (pattern, emitted base, lane):
+        # the base of a move into CRF state f is f % 4 (cpp:890-904)
+        beta = st["f"] % 4
+        cflat = (jnp.clip(pat, 0, 3) * 4 + beta) * C + st["conv"]
+        c = jnp.clip(jnp.take(cstar.reshape(-1), cflat), 0, 3)
         rev2c = (c & 1) * 2 + (c >> 1)
         csrc = jnp.where(kvar == 0, (st["conv"] >> 1) + c * (C // 2),
                          (st["conv"] >> 2) + rev2c * (C // 4))
@@ -599,7 +686,7 @@ class PallasDecoder:
             move_idx=jnp.asarray(c.move_idx))
         self._tbdev = dict(
             qmap=jnp.asarray(c.qmap), pattern=jnp.asarray(c.pattern),
-            nbrev=jnp.asarray(c.nbrev))
+            nbrev=jnp.asarray(c.nbrev), cstar=jnp.asarray(c.cstar))
         L = spec.list_size
 
         def full(post, starts, nblk, tlo, thi):
