@@ -99,7 +99,7 @@ def main():
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--reads", type=int, default=0)
     ap.add_argument("--skip-cpp", action="store_true")
-    ap.add_argument("--backend", default="xla",
+    ap.add_argument("--backend", default="pallas",
                     choices=["xla", "pallas", "pallas_interpret"])
     ap.add_argument("--merge-rounds", type=int, default=None)
     ap.add_argument("--child", action="store_true",
@@ -119,10 +119,11 @@ def main():
     else:
         cfg = ConvCodeConfig(mem=11, rate=5, msg_len=180)
         list_size, dev = 8, 20
-        # batch 2 currently crashes the axon remote compiler; the fallback
-        # chain recovers but costs minutes, so default straight to 1.
+        # the decode is VPU-compute-bound, so batching does not raise
+        # throughput (measured: 5.15 s/read at B=1 vs 18.2/2=9.1 at B=2
+        # before kernel v2); run batch 1
         batch = args.batch or 1
-        n_reads = args.reads or 8
+        n_reads = args.reads or 4
         metric = "reads_per_s_m11_r5l6_l8"
 
     posts, _ = gen_posts(cfg, n_reads, seed=42)
@@ -206,6 +207,10 @@ def main():
         "value": round(tpu_rps, 3),
         "unit": "reads/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "backend": args.backend,
+        "batch": batch,
+        "s_per_read": round(1.0 / tpu_rps, 3),
+        "cpp_s_per_read": round(1.0 / cpp_rps, 1) if cpp_rps else None,
     }))
 
 

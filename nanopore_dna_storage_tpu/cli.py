@@ -117,6 +117,29 @@ def cmd_simulate(args):
         if stats["hamming"] else None}))
 
 
+def cmd_simulate_signal(args):
+    """Signal-fidelity Monte-Carlo decode accuracy (simulator.py:59-116):
+    squiggle -> basecaller (trained from scratch on the hermetic pore
+    model) -> fwd-bwd -> list-Viterbi -> CRC/index."""
+    from .pipeline.encode import encode_bytes
+    from .pipeline.simulate import simulate_and_decode_signal
+
+    exp = _experiment(args)
+    rng = np.random.default_rng(args.seed)
+    data = rng.integers(0, 256, args.data_size, dtype=np.uint8).tobytes()
+    enc = encode_bytes(data, exp)
+    stats, _ = simulate_and_decode_signal(
+        enc, exp, num_reads=args.num_reads, list_size=args.list_size,
+        seed=args.seed, max_deviation=args.max_deviation,
+        train_steps=args.train_steps, kmer=args.kmer)
+    print(json.dumps({
+        "num_reads": stats.num_reads,
+        "crc_pass": stats.crc_pass,
+        "list_correct": stats.list_correct,
+        "top_correct": stats.top_correct,
+        "unique_indices": stats.unique_indices}))
+
+
 def cmd_sim_decode(args):
     from .pipeline.encode import encode_file
     from .pipeline.simulate import simulate_and_decode
@@ -223,6 +246,79 @@ def cmd_rs_recover(args):
     print(json.dumps({"trials": args.num_trials, "successes": successes}))
 
 
+def cmd_read_cost(args):
+    """Reading-cost sweep (supplementary Table 2 methodology): the minimum
+    number of reads, in steps of --step, for which --num-trials/--num-trials
+    random subsampling trials all recover the file via RS, reported as
+    bases/bit = min_reads * oligo_len / (8 * data_size).
+
+    Reproduces decode_RS_from_decoded_lists.py:29-68 run over a read-count
+    sweep (BASELINE.md 'Reading cost vs list size')."""
+    import math
+    import random
+
+    from .io.lists import read_list_file, decoded_indices
+    from .pipeline.decode import majority_vote, recover_file
+    from .coding.framing import check_and_extract, extract_payload
+
+    exp = _experiment(args)
+    size = args.data_size
+    padded = math.ceil(size / exp.bytes_per_oligo) * exp.bytes_per_oligo
+    _, _, num_oligos = exp.oligo_counts(padded)
+    want = pathlib.Path(args.infile).read_bytes() if args.infile else None
+    all_ids = decoded_indices(args.lists_dir)
+
+    # pre-classify every read once (CRC+index per list); the sweep then just
+    # subsamples the classification results
+    classified = {}
+    for i in all_ids:
+        lst = read_list_file(args.lists_dir, i, args.list_size)
+        if not lst:
+            continue
+        msgs = np.asarray([[int(c) for c in m] for m in lst], np.uint8)
+        ok, idx = check_and_extract(msgs, exp.framing, num_oligos,
+                                    pad=exp.pad)
+        if not ok.any():
+            continue
+        first = int(np.argmax(ok))
+        classified[i] = (int(idx[first]),
+                         extract_payload(msgs[first], exp.framing,
+                                         exp.bytes_per_oligo, pad=exp.pad))
+
+    def trials_pass(n_reads: int) -> int:
+        rnd = random.Random(args.seed)
+        succ = 0
+        for _ in range(args.num_trials):
+            ids = rnd.sample(all_ids, min(n_reads, len(all_ids)))
+            hits = [classified[i] for i in ids if i in classified]
+            voted = majority_vote(
+                np.asarray([h[0] for h in hits], np.int64),
+                np.asarray([h[1] for h in hits], np.uint8).reshape(
+                    -1, exp.bytes_per_oligo))
+            ok, data = recover_file(voted, exp, size)
+            if ok and (want is None or data == want):
+                succ += 1
+        return succ
+
+    result = None
+    sweep = []
+    for n in range(args.step, len(all_ids) + args.step, args.step):
+        n_eff = min(n, len(all_ids))
+        succ = trials_pass(n_eff)
+        sweep.append({"num_reads": n_eff, "successes": succ})
+        if succ == args.num_trials:
+            result = n_eff
+            break
+        if n_eff == len(all_ids):
+            break
+    oligo_len = args.oligo_len
+    cost = (result * oligo_len / (8.0 * size)) if result and oligo_len \
+        else None
+    print(json.dumps({"min_reads": result, "sweep": sweep,
+                      "reading_cost_bases_per_bit":
+                      round(cost, 3) if cost else None}))
+
+
 def cmd_decode_posts(args):
     """Decode flappie-produced artifacts (post [+fastq+trans]) to list files
     (generate_decoded_lists.py equivalent for pre-basecalled reads)."""
@@ -298,6 +394,19 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_simulate)
 
+    p = sub.add_parser("simulate-signal")
+    _add_exp_args(p)
+    p.add_argument("--data-size", type=int, default=24)
+    p.add_argument("--num-reads", type=int, default=32)
+    p.add_argument("--list-size", type=int, default=4)
+    p.add_argument("--max-deviation", type=int, default=16)
+    p.add_argument("--train-steps", type=int, default=300)
+    p.add_argument("--kmer", type=int, default=1,
+                   help="pore-model context (1 = quickly learnable, "
+                        "6 = production model, needs long training)")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_simulate_signal)
+
     p = sub.add_parser("sim-decode")
     _add_exp_args(p)
     p.add_argument("-i", "--infile", required=True)
@@ -328,6 +437,20 @@ def main(argv=None):
                    help="file of true message bit strings")
     p.add_argument("--list-size", type=int, default=8)
     p.set_defaults(fn=cmd_error_rate)
+
+    p = sub.add_parser("read-cost")
+    _add_exp_args(p)
+    p.add_argument("--lists-dir", required=True)
+    p.add_argument("--data-size", type=int, required=True)
+    p.add_argument("--infile", help="original file for byte comparison")
+    p.add_argument("--list-size", type=int, default=8)
+    p.add_argument("--step", type=int, default=500,
+                   help="read-count sweep step (supplementary Table 2)")
+    p.add_argument("--num-trials", type=int, default=10)
+    p.add_argument("--oligo-len", type=int, default=0,
+                   help="oligo length incl. any padding, for bases/bit")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_read_cost)
 
     p = sub.add_parser("rs-recover")
     _add_exp_args(p)

@@ -69,6 +69,10 @@ class LVASpec:
     combine_lse: bool = False  # logsumexp duplicate-path combining
     backend: str = "xla"
     window_chunks: int = 1
+    # merge_rounds was auto-derived (None in the config): the pallas kernel
+    # then uses the exhaustive per-destination bound nq*L — exact reference
+    # heap semantics — since its done-exit makes extra rounds free.
+    merge_auto: bool = True
 
     @classmethod
     def build(cls, cfg: DecodeConfig) -> Tuple["LVASpec", tb.TrellisTables]:
@@ -88,6 +92,7 @@ class LVASpec:
             window_chunks=next(
                 n for n in range(min(cfg.window_chunks, tabs.window), 0, -1)
                 if tabs.window % n == 0),
+            merge_auto=cfg.merge_rounds is None,
         ), tabs
 
 
@@ -519,6 +524,10 @@ class LVADecoder:
                              "(cpp:600-601)")
         starts = self.schedule(nblks, T)
         if self._pallas is not None:
+            if T % 2:  # the pallas forward runs 2-block scan steps
+                posts = np.concatenate(
+                    [posts, np.zeros((B, 1, 5, 8), np.float32)], axis=1)
+                starts = np.concatenate([starts, starts[:, -1:]], axis=1)
             m, sc, valid = self._pallas.decode(posts, starts, nblks)
             return _unpack_msgs(self.spec, m), sc, valid
         sc, m = self._fn(jnp.asarray(posts), jnp.asarray(starts),

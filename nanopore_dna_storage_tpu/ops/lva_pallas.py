@@ -217,12 +217,12 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
         if small:
             (r_sc, r_h1, r_h2, s_sc, s_h1, s_h2, stay_tr, move_tr,
              borev, nbrev, valid, bfly, pattern, active,
-             o_sc, o_h1, o_h2, o_sel, xpd, cnd) = rest
+             o_sc, o_h1, o_h2, o_sel, xpd, xpd2, cnd) = rest
         else:
             (k2_sc, k2_h1, k2_h2, k4_sc, k4_h1, k4_h2,
              s_sc, s_h1, s_h2, stay_tr, move_tr,
              borev, nbrev, valid, bfly, pattern, active,
-             o_sc, o_h1, o_h2, o_sel, xpd, cnd) = rest
+             o_sc, o_h1, o_h2, o_sel, xpd, xpd2, cnd) = rest
         w = pl.program_id(0)
         pos = start_ref[0] + w
         pat = pattern[pos]
@@ -297,6 +297,21 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
             # entirely.
             posgate = pos > 1
 
+            def expand_all(kvar, ncs):
+                """All ncs candidate expansions as ONE wide butterfly (small
+                codes): the candidates differ only by a pre-roll of the same
+                stacked source."""
+                k = 2 << kvar
+                n = CT // k
+                for c in range(ncs):
+                    qoff = c if kvar == 0 else ((c & 1) << 1) | (c >> 1)
+                    a = (qoff * n) % CT
+                    xpd2[c] = roll(xpd[:], CT - a, 3) if a else xpd[:]
+                y = butterfly(xpd2[0:ncs], takes2 if kvar == 0 else takes4,
+                              sh_k2 if kvar == 0 else sh_k4)
+                return [(y[c, 0], f32i(y[c, 1]), f32i(y[c, 2]))
+                        for c in range(ncs)]
+
             def make_cand(kvar):
                 ncs = 2 if kvar == 0 else NC
                 shift = 1 if kvar == 0 else 2
@@ -304,8 +319,10 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                 NEGa = jnp.full((NCRF, L, CT), NEG, jnp.float32)
                 Z = jnp.zeros((NCRF, L, CT), jnp.int32)
                 acc = [[NEGa, Z, Z] for _ in range(4)]
+                exp_c = expand_all(kvar, ncs) if small else \
+                    [expand(kvar, c) for c in range(ncs)]
                 for c in range(ncs):
-                    sc_e, h1_e, h2_e = expand(kvar, c)
+                    sc_e, h1_e, h2_e = exp_c[c]
                     bo_c = borev[0, c] if kvar == 0 else \
                         borev[pl.ds(pat, 1), c][0]  # [CT]
                     for beta in range(4):
@@ -332,43 +349,56 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                     for b in range(4)]
 
             wm = (valid[pl.ds(pos, 1)][0] != 0) & act  # [CT]
-            sels = []
-            iL = jax.lax.broadcasted_iota(jnp.int32, (L, CT), 0)
+            isp0 = pos == 1
 
-            for f in range(NCRF):
-                gl = G_LISTS[f]
-                nq = NQ_F[f]
-                beta = f % 4
-                c_sc, c_h1, c_h2 = cand[beta]
-                rows_sc = [psc[f] + stay_tr[0, f]]
-                rows_h1 = [ph1[f]]
-                rows_h2 = [ph2[f]]
-                for g in gl:
-                    rows_sc.append(c_sc[g] + move_tr[f, g])
-                    rows_h1.append(c_h1[g])
-                    rows_h2.append(c_h2[g])
-                srcall_sc = jnp.stack(rows_sc)  # [NQ, L, CT]
+            def merge_group(fs):
+                """One stacked merge over CRF destinations ``fs`` (all with
+                the same list count): state arrays carry an F axis next to
+                the lanes, so the 4 flips (and the 4 flops) run as ONE
+                while-loop instead of four."""
+                nq = NQ_F[fs[0]]
+                F = len(fs)
+                iL = jax.lax.broadcasted_iota(jnp.int32, (L, F, CT), 0)
+                iNQ = jax.lax.broadcasted_iota(jnp.int32, (nq, F, CT), 0)
+
+                def fstack(parts):  # F x [L, CT] -> [L, F, CT]
+                    return jnp.moveaxis(jnp.stack(parts), 0, 1)
+
+                stay_sc = fstack([psc[f] + stay_tr[0, f] for f in fs])
+                stay_h1 = fstack([ph1[f] for f in fs])
+                stay_h2 = fstack([ph2[f] for f in fs])
+                rows_sc, rows_h1, rows_h2 = [stay_sc], [stay_h1], [stay_h2]
+                for qi in range(nq - 1):
+                    gs = [G_LISTS[f][qi] for f in fs]
+                    rows_sc.append(fstack(
+                        [cand[f % 4][0][g] + move_tr[f, g]
+                         for f, g in zip(fs, gs)]))
+                    rows_h1.append(fstack(
+                        [cand[f % 4][1][g] for f, g in zip(fs, gs)]))
+                    rows_h2.append(fstack(
+                        [cand[f % 4][2][g] for f, g in zip(fs, gs)]))
+                srcall_sc = jnp.stack(rows_sc)  # [NQ, L, F, CT]
                 srcall_h1 = jnp.stack(rows_h1)
                 srcall_h2 = jnp.stack(rows_h2)
-                iNQ = jax.lax.broadcasted_iota(jnp.int32, (nq, CT), 0)
+                # auto merge_rounds -> exhaustive bound nq*L (exact heap
+                # semantics); the done-exit means only needed rounds run
+                Rf = nq * L if (spec.merge_auto and not lse) else R
 
-                def cond(st, _nq=nq):
+                def cond(st):
                     rnd, hs, _, _, _, _, _, _, _, acc = st
                     if lse:
-                        return rnd < R
+                        return rnd < Rf
                     # done = L slots filled OR every head exhausted
                     # (unreachable states exit after one round)
                     live = (acc < L) & (jnp.max(hs, axis=0) > NEG)
-                    return (rnd < R) & jnp.any(live)
+                    return (rnd < Rf) & jnp.any(live)
 
-                def body(st, _nq=nq, _iNQ=iNQ, _sall=(srcall_sc, srcall_h1,
-                                                      srcall_h2)):
+                def body(st):
                     (rnd, hs, hh1, hh2, hptr, osc, oh1, oh2, osel, acc) = st
-                    sall_sc, sall_h1, sall_h2 = _sall
-                    best = jnp.max(hs, axis=0)  # [CT]
+                    best = jnp.max(hs, axis=0)  # [F, CT]
                     bq = jnp.argmax(hs, axis=0)
                     ok = best > NEG
-                    oh = _iNQ == bq[None, :]
+                    oh = iNQ == bq[None]
                     ch1 = jnp.where(oh, hh1, 0).sum(0)
                     ch2 = jnp.where(oh, hh2, 0).sum(0)
                     ps = jnp.where(oh, hptr, 0).sum(0)
@@ -392,43 +422,45 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                     hptr = hptr + adv.astype(jnp.int32)
                     for l in range(1, L):
                         m = adv & (hptr == l)
-                        hs = jnp.where(m, sall_sc[:, l, :], hs)
-                        hh1 = jnp.where(m, sall_h1[:, l, :], hh1)
-                        hh2 = jnp.where(m, sall_h2[:, l, :], hh2)
+                        hs = jnp.where(m, srcall_sc[:, l], hs)
+                        hh1 = jnp.where(m, srcall_h1[:, l], hh1)
+                        hh2 = jnp.where(m, srcall_h2[:, l], hh2)
                     hs = jnp.where(adv & (hptr >= L), NEG, hs)
                     return (rnd + 1, hs, hh1, hh2, hptr, osc, oh1, oh2,
                             osel, acc)
 
                 st0 = (
                     jnp.int32(0),
-                    srcall_sc[:, 0, :], srcall_h1[:, 0, :],
-                    srcall_h2[:, 0, :],
-                    jnp.zeros((nq, CT), jnp.int32),
-                    jnp.full((L, CT), NEG, jnp.float32),
-                    jnp.zeros((L, CT), jnp.int32),
-                    jnp.zeros((L, CT), jnp.int32),
-                    jnp.full((L, CT), -1, jnp.int32),
-                    jnp.zeros((CT,), jnp.int32),
+                    srcall_sc[:, 0], srcall_h1[:, 0], srcall_h2[:, 0],
+                    jnp.zeros((nq, F, CT), jnp.int32),
+                    jnp.full((L, F, CT), NEG, jnp.float32),
+                    jnp.zeros((L, F, CT), jnp.int32),
+                    jnp.zeros((L, F, CT), jnp.int32),
+                    jnp.full((L, F, CT), -1, jnp.int32),
+                    jnp.zeros((F, CT), jnp.int32),
                 )
                 st = jax.lax.while_loop(cond, body, st0)
                 (_, _, _, _, _, osc, oh1, oh2, osel, _) = st
 
                 # position 0 (padded row 1): stay-only, slot 0 scored, all
                 # list slots carried through unchanged (cpp:706-713)
-                isp0 = pos == 1
-                p0 = jnp.where(iL == 0, psc[f] + stay_tr[0, f], NEG)
+                p0 = jnp.where(iL == 0, stay_sc, NEG)
                 osc = jnp.where(isp0, p0, osc)
-                oh1 = jnp.where(isp0, ph1[f], oh1)
-                oh2 = jnp.where(isp0, ph2[f], oh2)
+                oh1 = jnp.where(isp0, stay_h1, oh1)
+                oh2 = jnp.where(isp0, stay_h2, oh2)
                 osel = jnp.where(isp0, iL, osel)
 
-                o_sc[0, f] = jnp.where(wm[None], osc, s_sc[0, f])
-                o_h1[0, f] = jnp.where(wm[None], oh1, s_h1[0, f])
-                o_h2[0, f] = jnp.where(wm[None], oh2, s_h2[0, f])
-                sels.append(jnp.where(wm[None], osel, -1))
+                for fi, f in enumerate(fs):
+                    o_sc[0, f] = jnp.where(wm[None], osc[:, fi], s_sc[0, f])
+                    o_h1[0, f] = jnp.where(wm[None], oh1[:, fi], s_h1[0, f])
+                    o_h2[0, f] = jnp.where(wm[None], oh2[:, fi], s_h2[0, f])
+                return jnp.where(wm[None, None], osel, -1)  # [L, F, CT]
 
-            o_sel[0] = jnp.stack(sels).reshape(NCRF * L, CT).astype(
-                jnp.int16)
+            sel_flip = merge_group([0, 1, 2, 3])
+            sel_flop = merge_group([4, 5, 6, 7])
+            o_sel[0] = jnp.concatenate(
+                [jnp.moveaxis(sel_flip, 1, 0), jnp.moveaxis(sel_flop, 1, 0)]
+            ).reshape(NCRF * L, CT).astype(jnp.int16)
 
     return kernel
 
@@ -505,6 +537,7 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
             num_scalar_prefetch=1, grid=(W, n_ct), in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((3, NCRF, L, CT), jnp.float32),
+                            pltpu.VMEM((4, 3, NCRF, L, CT), jnp.float32),
                             pltpu.VMEM((12, NCRF, L, CT), jnp.float32)]),
         out_shape=out_shape,
         input_output_aliases={stale_base: 0, stale_base + 1: 1,
@@ -541,26 +574,43 @@ def _init_buffers(spec, consts: PallasConsts):
 
 def _forward(spec, consts, cdev, post, starts, nblk, interpret):
     """Scan the ACS kernel over signal blocks; returns final scores at
-    (last position, final conv state) [8, L] and selections [T, W, 8L, C]."""
+    (last position, final conv state) [8, L] and paired selections
+    ([T/2, W, 8L, C], [T/2, W, 8L, C]) for even/odd blocks.
+
+    Two blocks per scan step: the (prev, stale) buffer roles swap every
+    block, and a one-block step would permute the scan carry — which XLA
+    implements as full-buffer copies (~430 MB/step for m=11). The 2-block
+    step returns each buffer in the carry slot it arrived in, so with the
+    kernel's input_output_aliases the whole scan runs copy-free.
+    """
     T = post.shape[0]
+    assert T % 2 == 0, "pack_posts buckets to a multiple of 128"
     bufs = _init_buffers(spec, consts)
     active = jnp.arange(T) < nblk
 
     def step(carry, xs):
-        psc, ph1, ph2, ssc, sh1, sh2 = carry
-        post_t, start, act = xs
-        nsc, nh1, nh2, sel = acs_block(
-            spec, consts, cdev, (psc, ph1, ph2), (ssc, sh1, sh2),
-            post_t.reshape(-1), start + 1, act, interpret)
-        return (nsc, nh1, nh2, psc, ph1, ph2), sel
+        pA, pB = carry  # pA = prev (sc,h1,h2), pB = stale
+        post2, start2, act2 = xs  # leading axis 2
+        n0 = acs_block(
+            spec, consts, cdev, pA, pB,
+            post2[0].reshape(-1), start2[0] + 1, act2[0], interpret)
+        n1 = acs_block(
+            spec, consts, cdev, n0[:3], pA,
+            post2[1].reshape(-1), start2[1] + 1, act2[1], interpret)
+        # n1 occupies pA's storage, n0 pB's: carry slots keep their buffers
+        return (n1[:3], n0[:3]), (n0[3], n1[3])
 
-    carry, sels = jax.lax.scan(step, bufs, (post, starts, active))
-    # buffer written at the last active step t = nblk-1 (cf. ops/lva.py)
+    pair = lambda a: a.reshape((T // 2, 2) + a.shape[1:])  # noqa: E731
+    carry, (sels0, sels1) = jax.lax.scan(
+        step, (bufs[:3], bufs[3:]),
+        (pair(post), pair(starts), pair(active)))
+    # buffer written at the last active step t = nblk-1 (cf. ops/lva.py):
+    # carry[0] was written at block T-1, carry[1] at block T-2
     same = (T - nblk) % 2 == 0
-    fsc = jnp.where(same, carry[0], carry[3])
+    fsc = jnp.where(same, carry[0][0], carry[1][0])
     last_row = spec.code.nstate_pos - 1 + 1
     fin = fsc[last_row, :, :, consts.final_rev]  # [8, L]
-    return fin, sels
+    return fin, sels0, sels1
 
 
 def window_bounds(starts_np: np.ndarray, nblk: int, npos_pad: int, W: int):
@@ -579,7 +629,7 @@ def window_bounds(starts_np: np.ndarray, nblk: int, npos_pad: int, W: int):
     return tlo.astype(np.int32), thi.astype(np.int32)
 
 
-def _traceback(spec, consts, tbdev, sels, starts, nblk, tlo, thi):
+def _traceback(spec, consts, tbdev, sels0, sels1, starts, nblk, tlo, thi):
     """Reconstruct packed messages for all 8*L final-state chains by walking
     the per-block selections backward.
 
@@ -593,7 +643,7 @@ def _traceback(spec, consts, tbdev, sels, starts, nblk, tlo, thi):
     L = spec.list_size
     nch = NCRF * L
     Mw = -(-(spec.code.config.msg_len + spec.code.mem) // 32)
-    T = sels.shape[0]
+    T = 2 * sels0.shape[0]
     last_row = spec.code.nstate_pos - 1 + 1
     qmap, pattern, nbrev = tbdev["qmap"], tbdev["pattern"], tbdev["nbrev"]
     cstar = tbdev["cstar"]  # [4 pat, 4 base, C]
@@ -665,8 +715,19 @@ def _traceback(spec, consts, tbdev, sels, starts, nblk, tlo, thi):
             alive=st["alive"] & ~(act & (ntw < 0)),
             okend=okend), ()
 
-    ts = jnp.arange(T, dtype=jnp.int32)
-    st, _ = jax.lax.scan(step, st0, (ts, sels, starts), reverse=True)
+    # paired reverse scan matching _forward's 2-block steps: within a pair,
+    # the odd block runs first when walking backward
+    def pair_step(st, xs):
+        t0, sel_t0, sel_t1, start_t0, start_t1 = xs
+        st, _ = step(st, (t0 + 1, sel_t1, start_t1))
+        return step(st, (t0, sel_t0, start_t0))
+
+    ts = jnp.arange(0, T, 2, dtype=jnp.int32)
+    st, _ = jax.lax.scan(
+        pair_step, st0,
+        (ts, sels0, sels1,
+         starts.reshape(T // 2, 2)[:, 0], starts.reshape(T // 2, 2)[:, 1]),
+        reverse=True)
     return st["words"], st["okend"]
 
 
@@ -690,10 +751,10 @@ class PallasDecoder:
         L = spec.list_size
 
         def full(post, starts, nblk, tlo, thi):
-            fin, sels = _forward(spec, c, self._cdev, post, starts, nblk,
-                                 self.interpret)
-            words, okend = _traceback(spec, c, self._tbdev, sels, starts,
-                                      nblk, tlo, thi)
+            fin, sels0, sels1 = _forward(spec, c, self._cdev, post, starts,
+                                         nblk, self.interpret)
+            words, okend = _traceback(spec, c, self._tbdev, sels0, sels1,
+                                      starts, nblk, tlo, thi)
             flat = fin.reshape(-1)
             order = jnp.argsort(-flat, stable=True)[:L]
             return flat[order], words[order], okend[order]

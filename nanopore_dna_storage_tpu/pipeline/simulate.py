@@ -60,6 +60,116 @@ def simulate_posts(oligos: Sequence[str], num_reads: int,
     return posts, np.asarray(rcs), np.asarray(ids)
 
 
+def simulate_posts_signal(oligos: Sequence[str], num_reads: int,
+                          rng: np.random.Generator, params, model_cfg, *,
+                          kmer: int = 6, deepsim_dwell: bool = False):
+    """Signal-fidelity read simulation: squiggle synthesis -> basecaller
+    forward pass -> forward-backward transition posteriors.
+
+    The full simulator.py loop (simulator.py:59-116): random oligo, random
+    orientation, raw signal from the pore model, medmad normalize, the
+    flip-flop network, transpost — everything the real decode consumes,
+    with no synthetic-posterior shortcut. Returns (posts, rc_flags, ids).
+    """
+    import jax.numpy as jnp
+
+    from ..models.flipflop import flipflop_transitions
+    from ..ops.fwdbwd import batched_transition_posteriors
+    from ..signal.normalize import medmad_normalize
+    from ..signal.squiggle import simulate_raw_signal
+
+    arr = convmod.str_to_bases(list(oligos))
+    raws, rcs, ids = [], [], []
+    for _ in range(num_reads):
+        oid = int(rng.integers(len(oligos)))
+        rc = bool(rng.integers(2))
+        bases = arr[oid] if not rc else convmod.reverse_complement_bases(
+            arr[oid])
+        raw = simulate_raw_signal(bases, rng, deepsim_dwell=deepsim_dwell,
+                                  kmer=kmer)
+        raws.append(medmad_normalize(raw))
+        rcs.append(rc)
+        ids.append(oid)
+    T = -(-max(len(r) for r in raws) // 16) * 16
+    sig = np.zeros((num_reads, T), np.float32)
+    ns = np.zeros(num_reads, np.int32)
+    for i, r in enumerate(raws):
+        sig[i, : len(r)] = r
+        ns[i] = len(r)
+    trans = flipflop_transitions(params, model_cfg, jnp.asarray(sig),
+                                 jnp.asarray(ns))
+    nblk = -(-ns // model_cfg.stride)
+    posts = np.asarray(batched_transition_posteriors(
+        trans.reshape(num_reads, -1, 40), jnp.asarray(nblk)))
+    return ([posts[i, : nblk[i]] for i in range(num_reads)],
+            np.asarray(rcs), np.asarray(ids))
+
+
+def simulate_and_decode_signal(enc: EncodeResult, exp: ExperimentConfig,
+                               num_reads: int, *, list_size: int = 8,
+                               seed: int = 0,
+                               max_deviation: Optional[int] = 20,
+                               train_steps: int = 300, kmer: int = 1,
+                               model_cfg=None, params=None,
+                               learning_rate: float = 1e-2,
+                               batch: int = 16):
+    """End-to-end SIGNAL-fidelity Monte-Carlo decode accuracy.
+
+    Trains a basecaller from scratch on the hermetic pore model (unless
+    trained params are supplied), then runs
+    msg -> conv encode -> squiggle -> basecaller -> fwd-bwd -> list-Viterbi
+    -> CRC/index classification and reports per-read accuracy — the
+    simulator.py:59-116 loop at signal fidelity. Returns SimStats.
+
+    kmer=1 keeps the basecaller trainable in seconds (see
+    signal/squiggle.py); pass kmer=6 + longer training for the production
+    pore model.
+    """
+    from ..models import flipflop as ff
+    from ..models import train as trainmod
+
+    if model_cfg is None:
+        model_cfg = ff.FlipflopConfig(winlen=7, stride=2, conv_filters=16,
+                                      hidden=32, layer_dirs=("b", "f"))
+    if params is None:
+        orig = trainmod.simulate_raw_signal
+        trainmod.simulate_raw_signal = (
+            lambda seq, rng, deepsim_dwell=True:
+            orig(seq, rng, deepsim_dwell=deepsim_dwell, kmer=kmer))
+        try:
+            state, _ = trainmod.train_on_synthetic(
+                model_cfg, steps=train_steps, batch=8, seq_len=40,
+                seed=seed, learning_rate=learning_rate)
+        finally:
+            trainmod.simulate_raw_signal = orig
+        params = state.params
+
+    rng = np.random.default_rng(seed + 1)
+    dec = PipelineDecoder(exp, list_size, max_deviation)
+    num_oligos = enc.num_oligos_data + enc.num_oligos_rs
+    oligo_msgs = {}  # oligo id -> true message bits
+    stats = SimStats()
+    seen = set()
+    for lo in range(0, num_reads, batch):
+        n = min(batch, num_reads - lo)
+        posts, rcs, ids = simulate_posts_signal(
+            enc.oligos, n, rng, params, model_cfg, kmer=kmer)
+        out = dec.decode_posts(posts, rcs, num_oligos)
+        stats.num_reads += n
+        stats.crc_pass += int((out.index >= 0).sum())
+        for j in range(n):
+            if out.index[j] < 0 or int(out.index[j]) != int(ids[j]):
+                continue
+            stats.list_correct += 1
+            seen.add(int(ids[j]))
+            # top = the CRC-passing candidate sits in list slot 0
+            if out.valid[j, 0] and (out.msgs[j, 0]
+                                    == out.chosen_msg[j]).all():
+                stats.top_correct += 1
+    stats.unique_indices = len(seen)
+    return stats, params
+
+
 def simulate_and_decode(enc: EncodeResult, exp: ExperimentConfig,
                         num_reads: int, data_size: int, *,
                         list_size: int = 8, seed: int = 0,

@@ -65,17 +65,25 @@ def deepsim_dwells(n: int, rng: np.random.Generator,
     return samples
 
 
-def sequence_to_squiggle(bases: np.ndarray) -> np.ndarray:
-    """bases [n] -> [n, 3] rows (dwell, mean, stdv) like scrappy's output."""
+def sequence_to_squiggle(bases: np.ndarray, kmer: int = KMER) -> np.ndarray:
+    """bases [n] -> [n, 3] rows (dwell, mean, stdv) like scrappy's output.
+
+    kmer: pore context length (default 6, the production model). Smaller
+    contexts give an easier inverse problem — used by the signal-fidelity
+    end-to-end test, where the basecaller is trained from scratch in
+    seconds rather than hours.
+    """
     bases = np.asarray(bases, dtype=np.int64)
     n = len(bases)
     mean, stdv = pore_model()
-    # centered 6-mer context with edge clamping
-    pad = np.concatenate([np.repeat(bases[:1], KMER // 2), bases,
-                          np.repeat(bases[-1:], KMER - 1 - KMER // 2)])
+    # centered k-mer context with edge clamping
+    pad = np.concatenate([np.repeat(bases[:1], kmer // 2), bases,
+                          np.repeat(bases[-1:], kmer - 1 - kmer // 2)])
     idx = np.zeros(n, dtype=np.int64)
-    for k in range(KMER):
+    for k in range(kmer):
         idx = idx * 4 + pad[k: k + n]
+    # spread short contexts over the full table so levels stay distinct
+    idx *= (4 ** KMER) // (4 ** kmer)
     out = np.empty((n, 3), dtype=np.float32)
     out[:, 0] = 9.0  # nominal dwell, replaced by deepsim sampling
     out[:, 1] = mean[idx]
@@ -99,6 +107,7 @@ def squiggle_to_raw(squiggle: np.ndarray, rng: np.random.Generator,
 
 def simulate_raw_signal(bases: np.ndarray, rng: np.random.Generator,
                         deepsim_dwell: bool = True,
-                        deepsim_alpha: float = 0.1) -> np.ndarray:
-    return squiggle_to_raw(sequence_to_squiggle(bases), rng,
+                        deepsim_alpha: float = 0.1,
+                        kmer: int = KMER) -> np.ndarray:
+    return squiggle_to_raw(sequence_to_squiggle(bases, kmer=kmer), rng,
                            deepsim_dwell, deepsim_alpha)
