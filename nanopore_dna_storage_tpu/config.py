@@ -72,8 +72,9 @@ class DecodeConfig:
     # bounds the size of any single fused TPU computation (auto-clamped to a
     # divisor of the window).
     window_chunks: int = 1
-    # Conv-state tile width (lanes) for the pallas kernel; None = auto
-    # (min(C, 1024)). Must be >= 512 when smaller than the full conv axis.
+    # Conv-state tile width (lanes) for the pallas kernel; None = auto.
+    # Codes whose whole conv axis fits one tile (m <= 11) run the
+    # single-tile fast path (no reshaped HBM views).
     pallas_ct: Optional[int] = None
 
     def __post_init__(self):

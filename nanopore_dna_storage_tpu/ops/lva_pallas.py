@@ -14,16 +14,21 @@ Design notes (docs/DESIGN.md §5 has the long version):
   slice followed by a lane upsample-by-k, which lowers as a fixed butterfly
   of ``pltpu.roll`` + select with host-precomputed take masks (arbitrary
   lane gathers/repeats do not lower on Mosaic; rolls do).
+* **Base-compacted candidate lists.** Bit 0 of both generator polynomials
+  is 1 for every supported code, so (dropped bits c) -> emitted base is
+  injective per (pattern, lane): after expansion the NC candidate planes
+  compact to ONE plane per emitted base, and each CRF destination merges
+  1 + |G_f| <= 8 sorted lists (stay + one per legal CRF predecessor,
+  cpp:878-889) instead of 1 + 4*|G_f|.
 * **Persistent merge heads.** The reference's lazy heap with message dedup
   (cpp:744-799) runs as merge rounds over per-predecessor heads
   (score, hash1, hash2, ptr) kept in VMEM; each round takes the argmax head,
   dedups against accepted entries by dual modular hash, advances the winner's
-  pointer and refreshes only its head. Rounds stop early once every state
-  filled L slots (exact: later rounds are no-ops unless logsumexp-combining).
-* **Per-CRF-state specialization.** Moves into flop states have one legal
-  CRF predecessor (their flip), flips have seven (cpp:878-889), so the CRF
-  destination loop is unrolled with per-destination candidate sets
-  (1 + 4*|G_f| heads instead of a padded 33 everywhere).
+  pointer and refreshes only its head. The while-loop exits once every lane
+  is done (L slots filled or all heads exhausted), which makes the default
+  exhaustive round bound nq*L — exact heap semantics — free. The 4 flip
+  destinations (and the 4 flops) run as one stacked loop with an F axis
+  beside the lanes.
 * **Selections, not messages.** The kernel emits, per accepted list slot,
   the winning (predecessor, source-slot) code. Messages are reconstructed
   after the scan by walking selections backward (``traceback_batch``),
@@ -759,7 +764,14 @@ class PallasDecoder:
             order = jnp.argsort(-flat, stable=True)[:L]
             return flat[order], words[order], okend[order]
 
+        # vmap at B=1 materializes a squeeze/copy of every carry buffer
+        # around each kernel call (~0.7 s/read for m=11); single reads run
+        # the unbatched program
         self._fn = jax.jit(jax.vmap(full))
+        self._fn1 = jax.jit(
+            lambda post, starts, nblk, tlo, thi: jax.tree.map(
+                lambda x: x[None],
+                full(post[0], starts[0], nblk[0], tlo[0], thi[0])))
 
     def decode(self, posts, starts, nblks):
         """posts [B,T,5,8] f32, starts [B,T] i32, nblks [B] -> packed words
@@ -770,7 +782,8 @@ class PallasDecoder:
         thi = np.zeros((len(nblks), P), np.int32)
         for b, n in enumerate(np.asarray(nblks)):
             tlo[b], thi[b] = window_bounds(starts[b], int(n), P, W)
-        sc, words, okend = self._fn(
+        fn = self._fn1 if len(nblks) == 1 else self._fn
+        sc, words, okend = fn(
             jnp.asarray(posts), jnp.asarray(starts, jnp.int32),
             jnp.asarray(nblks, jnp.int32), jnp.asarray(tlo),
             jnp.asarray(thi))
