@@ -75,6 +75,40 @@ def measure_cpp(binary: str, posts, cfg, list_size: int, dev: int,
     return float(np.mean(times))
 
 
+def profile_breakdown(dec, packed, nblks, outdir="/tmp/nds_bench_trace"):
+    """Capture a device trace of one decode and return {op: seconds} plus
+    the kernel (pallas closed_call) share of device time — the utilization
+    figure for this VPU-bound workload (there are no matmuls to MFU)."""
+    import collections
+    import glob
+    import gzip
+
+    import jax
+
+    with jax.profiler.trace(outdir):
+        dec.decode(packed, nblks)
+    fs = sorted(glob.glob(outdir + "/plugins/profile/*/*.trace.json.gz"))
+    if not fs:
+        return None
+    with gzip.open(fs[-1]) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dur = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and "TPU" in str(pids.get(e.get("pid"), "")):
+            dur[e["name"]] += e.get("dur", 0)
+    total = max((d for n, d in dur.items() if n.startswith("jit")),
+                default=0)
+    kern = sum(d for n, d in dur.items() if "closed_call" in n)
+    top = {n: round(d / 1e6, 3) for n, d in dur.most_common(8)}
+    return {"device_total_s": round(total / 1e6, 3),
+            "kernel_s": round(kern / 1e6, 3),
+            "kernel_share": round(kern / total, 3) if total else None,
+            "top_ops": top}
+
+
 def wait_for_worker(max_wait_s: float = 180.0) -> bool:
     """A TPU compile crash kills the axon worker for a while; poll until a
     trivial jitted op succeeds in a fresh subprocess."""
@@ -102,6 +136,9 @@ def main():
     ap.add_argument("--backend", default="pallas",
                     choices=["xla", "pallas", "pallas_interpret"])
     ap.add_argument("--merge-rounds", type=int, default=None)
+    ap.add_argument("--profile", action="store_true",
+                    help="also capture a device trace and report the "
+                         "kernel share of device time")
     ap.add_argument("--child", action="store_true",
                     help="internal: single-batch attempt, no fallback")
     args = ap.parse_args()
@@ -146,7 +183,11 @@ def main():
             else:
                 dec.decode(packed[sel], nblks[sel])
             done += nsel
-        return n_reads / (time.perf_counter() - t0)
+        rps = n_reads / (time.perf_counter() - t0)
+        if args.profile:
+            prof = profile_breakdown(dec, packed[:b], nblks[:b])
+            print(f"# profile: {json.dumps(prof)}", flush=True)
+        return rps
 
     # a crashed/flaky TPU worker or HBM pressure should degrade, not fail.
     # Each batch attempt runs in an isolated subprocess: a failed compile
@@ -164,6 +205,8 @@ def main():
                    "--backend", args.backend]
             if args.smoke:
                 cmd.append("--smoke")
+            if args.profile:
+                cmd.append("--profile")
             if args.merge_rounds is not None:
                 cmd += ["--merge-rounds", str(args.merge_rounds)]
             try:
@@ -172,6 +215,9 @@ def main():
             except subprocess.TimeoutExpired:
                 print(f"# batch {b} timed out", flush=True)
                 continue
+            for ln in r.stdout.splitlines():
+                if ln.startswith("# profile"):
+                    print(ln, flush=True)
             line = next((ln for ln in r.stdout.splitlines()
                          if ln.startswith("{")), None)
             if r.returncode == 0 and line:

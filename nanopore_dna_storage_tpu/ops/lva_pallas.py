@@ -224,10 +224,12 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
              borev, nbrev, valid, bfly, pattern, active,
              o_sc, o_h1, o_h2, o_sel, xpd, xpd2, cnd) = rest
         else:
-            (k2_sc, k2_h1, k2_h2, k4_sc, k4_h1, k4_h2,
-             s_sc, s_h1, s_h2, stay_tr, move_tr,
+            mvv = rest[:18]  # [kvar qoff] x (sc, h1, h2) views
+            k2v = [mvv[3 * q: 3 * q + 3] for q in range(2)]
+            k4v = [mvv[6 + 3 * q: 9 + 3 * q] for q in range(4)]
+            (s_sc, s_h1, s_h2, stay_tr, move_tr,
              borev, nbrev, valid, bfly, pattern, active,
-             o_sc, o_h1, o_h2, o_sel, xpd, xpd2, cnd) = rest
+             o_sc, o_h1, o_h2, o_sel, xpd, xpd2, cnd) = rest[18:]
         w = pl.program_id(0)
         pos = start_ref[0] + w
         pat = pattern[pos]
@@ -271,27 +273,27 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                 xpd[1] = i32f(r_h1[0])
                 xpd[2] = i32f(r_h2[0])
 
-            def expand(kvar, c):
+            def expand_all(kvar, ncs):
+                """All ncs candidate expansions as ONE wide butterfly. The
+                candidates differ only by where their source slice sits:
+                a pre-roll of the shared stacked row (single-tile codes) or
+                a per-offset block view (multi-tile codes)."""
                 k = 2 << kvar
                 n = CT // k
-                qoff = c if kvar == 0 else ((c & 1) << 1) | (c >> 1)
-                if small:
-                    a = (qoff * n) % CT
-                    seg = xpd[:]  # [3, 8, L, CT]
-                    if a:
-                        seg = roll(seg, CT - a, 3)
-                else:
-                    view3 = (k2_sc, k2_h1, k2_h2) if kvar == 0 else \
-                        (k4_sc, k4_h1, k4_h2)
-                    xpd[0] = jnp.tile(view3[0][0][:, :, qoff, :], (1, 1, k))
-                    xpd[1] = i32f(
-                        jnp.tile(view3[1][0][:, :, qoff, :], (1, 1, k)))
-                    xpd[2] = i32f(
-                        jnp.tile(view3[2][0][:, :, qoff, :], (1, 1, k)))
-                    seg = xpd[:]
-                y = butterfly(seg, takes2 if kvar == 0 else takes4,
+                for c in range(ncs):
+                    qoff = c if kvar == 0 else ((c & 1) << 1) | (c >> 1)
+                    if small:
+                        a = (qoff * n) % CT
+                        xpd2[c] = roll(xpd[:], CT - a, 3) if a else xpd[:]
+                    else:
+                        v = k2v[qoff] if kvar == 0 else k4v[qoff]
+                        xpd2[c, 0] = jnp.tile(v[0][0], (1, 1, k))
+                        xpd2[c, 1] = i32f(jnp.tile(v[1][0], (1, 1, k)))
+                        xpd2[c, 2] = i32f(jnp.tile(v[2][0], (1, 1, k)))
+                y = butterfly(xpd2[0:ncs], takes2 if kvar == 0 else takes4,
                               sh_k2 if kvar == 0 else sh_k4)
-                return y[0], f32i(y[1]), f32i(y[2])
+                return [(y[c, 0], f32i(y[c, 1]), f32i(y[c, 2]))
+                        for c in range(ncs)]
 
             # ---- compact candidates by emitted base ----------------------
             # cand[beta] = the one (c-compacted) move candidate plane per
@@ -302,21 +304,6 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
             # entirely.
             posgate = pos > 1
 
-            def expand_all(kvar, ncs):
-                """All ncs candidate expansions as ONE wide butterfly (small
-                codes): the candidates differ only by a pre-roll of the same
-                stacked source."""
-                k = 2 << kvar
-                n = CT // k
-                for c in range(ncs):
-                    qoff = c if kvar == 0 else ((c & 1) << 1) | (c >> 1)
-                    a = (qoff * n) % CT
-                    xpd2[c] = roll(xpd[:], CT - a, 3) if a else xpd[:]
-                y = butterfly(xpd2[0:ncs], takes2 if kvar == 0 else takes4,
-                              sh_k2 if kvar == 0 else sh_k4)
-                return [(y[c, 0], f32i(y[c, 1]), f32i(y[c, 2]))
-                        for c in range(ncs)]
-
             def make_cand(kvar):
                 ncs = 2 if kvar == 0 else NC
                 shift = 1 if kvar == 0 else 2
@@ -324,8 +311,7 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                 NEGa = jnp.full((NCRF, L, CT), NEG, jnp.float32)
                 Z = jnp.zeros((NCRF, L, CT), jnp.int32)
                 acc = [[NEGa, Z, Z] for _ in range(4)]
-                exp_c = expand_all(kvar, ncs) if small else \
-                    [expand(kvar, c) for c in range(ncs)]
+                exp_c = expand_all(kvar, ncs)
                 for c in range(ncs):
                     sc_e, h1_e, h2_e = exp_c[c]
                     bo_c = borev[0, c] if kvar == 0 else \
@@ -364,7 +350,6 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                 nq = NQ_F[fs[0]]
                 F = len(fs)
                 iL = jax.lax.broadcasted_iota(jnp.int32, (L, F, CT), 0)
-                iNQ = jax.lax.broadcasted_iota(jnp.int32, (nq, F, CT), 0)
 
                 def fstack(parts):  # F x [L, CT] -> [L, F, CT]
                     return jnp.moveaxis(jnp.stack(parts), 0, 1)
@@ -382,70 +367,62 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                         [cand[f % 4][1][g] for f, g in zip(fs, gs)]))
                     rows_h2.append(fstack(
                         [cand[f % 4][2][g] for f, g in zip(fs, gs)]))
-                srcall_sc = jnp.stack(rows_sc)  # [NQ, L, F, CT]
-                srcall_h1 = jnp.stack(rows_h1)
-                srcall_h2 = jnp.stack(rows_h2)
-                # auto merge_rounds -> exhaustive bound nq*L (exact heap
-                # semantics); the done-exit means only needed rounds run
-                Rf = nq * L if (spec.merge_auto and not lse) else R
+                # --- suppression merge: pop the global max, accept it into
+                # the (static) slot of the current round, and knock out its
+                # whole message class (equal dual hash) so every later pop
+                # is automatically distinct. Exactly L rounds reproduce the
+                # reference heap's top-L-with-dedup (pops arrive in score
+                # order; the suppressed duplicates are precisely the ones
+                # the heap would discard at pop time, cpp:744-799). No
+                # pointers, no head refresh.
+                ncand = nq * L
+                csc0 = jnp.stack(rows_sc).reshape(ncand, F, CT)
+                ch1s = jnp.stack(rows_h1).reshape(ncand, F, CT)
+                ch2s = jnp.stack(rows_h2).reshape(ncand, F, CT)
+                iC = jax.lax.broadcasted_iota(jnp.int32, (ncand, F, CT), 0)
 
                 def cond(st):
-                    rnd, hs, _, _, _, _, _, _, _, acc = st
-                    if lse:
-                        return rnd < Rf
-                    # done = L slots filled OR every head exhausted
-                    # (unreachable states exit after one round)
-                    live = (acc < L) & (jnp.max(hs, axis=0) > NEG)
-                    return (rnd < Rf) & jnp.any(live)
+                    rnd, _, _, _, _, _, alive = st
+                    return (rnd < L) & alive
 
                 def body(st):
-                    (rnd, hs, hh1, hh2, hptr, osc, oh1, oh2, osel, acc) = st
-                    best = jnp.max(hs, axis=0)  # [F, CT]
-                    bq = jnp.argmax(hs, axis=0)
+                    (rnd, csc, osc, oh1, oh2, osel, _) = st
+                    best = jnp.max(csc, axis=0)  # [F, CT]
+                    bq = jnp.argmax(csc, axis=0)
                     ok = best > NEG
-                    oh = iNQ == bq[None]
-                    ch1 = jnp.where(oh, hh1, 0).sum(0)
-                    ch2 = jnp.where(oh, hh2, 0).sum(0)
-                    ps = jnp.where(oh, hptr, 0).sum(0)
-                    lidx = jnp.clip(ps, 0, L - 1)
-
-                    eq = (oh1 == ch1[None]) & (oh2 == ch2[None]) & \
-                        (iL < acc[None])
-                    seen = eq.astype(jnp.int32).max(0) > 0
+                    ohot = iC == bq[None]
+                    ch1 = jnp.where(ohot, ch1s, 0).sum(0)
+                    ch2 = jnp.where(ohot, ch2s, 0).sum(0)
+                    eqh = (ch1s == ch1[None]) & (ch2s == ch2[None])
                     if lse:
-                        osc = jnp.where(eq & ok[None],
-                                        jnp.logaddexp(osc, best[None]), osc)
-                    accept = ok & (~seen) & (acc < L)
-                    put = (iL == acc[None]) & accept[None]
-                    osc = jnp.where(put, best[None], osc)
+                        # combine the whole duplicate class's path mass at
+                        # pop time (extra/viterbi_nanopore.cpp:883-888)
+                        val = best + jnp.log(jnp.sum(
+                            jnp.where(eqh & (csc > NEG),
+                                      jnp.exp(csc - best[None]), 0.0),
+                            axis=0))
+                    else:
+                        val = best
+                    csc = jnp.where(eqh, NEG, csc)
+                    put = (iL == rnd) & ok[None]
+                    osc = jnp.where(put, val[None], osc)
                     oh1 = jnp.where(put, ch1[None], oh1)
                     oh2 = jnp.where(put, ch2[None], oh2)
-                    osel = jnp.where(put, bq[None] * 64 + lidx[None], osel)
-                    acc = acc + accept.astype(jnp.int32)
-
-                    adv = oh & ok[None]
-                    hptr = hptr + adv.astype(jnp.int32)
-                    for l in range(1, L):
-                        m = adv & (hptr == l)
-                        hs = jnp.where(m, srcall_sc[:, l], hs)
-                        hh1 = jnp.where(m, srcall_h1[:, l], hh1)
-                        hh2 = jnp.where(m, srcall_h2[:, l], hh2)
-                    hs = jnp.where(adv & (hptr >= L), NEG, hs)
-                    return (rnd + 1, hs, hh1, hh2, hptr, osc, oh1, oh2,
-                            osel, acc)
+                    code = (bq // L) * 64 + (bq % L)
+                    osel = jnp.where(put, code[None], osel)
+                    return (rnd + 1, csc, osc, oh1, oh2, osel, jnp.any(ok))
 
                 st0 = (
                     jnp.int32(0),
-                    srcall_sc[:, 0], srcall_h1[:, 0], srcall_h2[:, 0],
-                    jnp.zeros((nq, F, CT), jnp.int32),
+                    csc0,
                     jnp.full((L, F, CT), NEG, jnp.float32),
                     jnp.zeros((L, F, CT), jnp.int32),
                     jnp.zeros((L, F, CT), jnp.int32),
                     jnp.full((L, F, CT), -1, jnp.int32),
-                    jnp.zeros((F, CT), jnp.int32),
+                    jnp.bool_(True),
                 )
                 st = jax.lax.while_loop(cond, body, st0)
-                (_, _, _, _, _, osc, oh1, oh2, osel, _) = st
+                (_, _, osc, oh1, oh2, osel, _) = st
 
                 # position 0 (padded row 1): stay-only, slot 0 scored, all
                 # list slots carried through unchanged (cpp:706-713)
@@ -502,17 +479,21 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
         mv_specs = [b_row] * 3
         mv_args = [p_sc, p_h1, p_h2]
     else:
-        b_k2 = pl.BlockSpec((1, NCRF, L, 2, CT // 2),
-                            lambda w, ci, s: (s[0] + w - 1, 0, 0, 0, ci),
-                            memory_space=vm)
-        b_k4 = pl.BlockSpec((1, NCRF, L, 4, CT // 4),
-                            lambda w, ci, s: (s[0] + w - 1, 0, 0, 0, ci),
-                            memory_space=vm)
-        mv_specs = [b_k2] * 3 + [b_k4] * 3
-        mv_args = ([a.reshape(P, NCRF, L, 2, C // 2)
-                    for a in (p_sc, p_h1, p_h2)]
-                   + [a.reshape(P, NCRF, L, 4, C // 4)
-                      for a in (p_sc, p_h1, p_h2)])
+        # Per-candidate-offset views of the UNRESHAPED previous-position
+        # row: candidate qoff of width-k expansion reads source lanes
+        # [qoff*C/k + ci*CT/k, ...+CT/k), i.e. lane-block qoff*n_ct + ci of
+        # a (CT/k)-wide blocking. Reshaped whole-array views here would
+        # cost XLA a full-buffer copy per call (~71 MB x6 for m=11).
+        def b_part(k, qoff):
+            return pl.BlockSpec(
+                (1, NCRF, L, CT // k),
+                lambda w, ci, s, _q=qoff: (s[0] + w - 1, 0, 0,
+                                           _q * n_ct + ci),
+                memory_space=vm)
+
+        mv_specs = [b_part(2, q) for q in range(2) for _ in range(3)] + \
+            [b_part(4, q) for q in range(4) for _ in range(3)]
+        mv_args = [p_sc, p_h1, p_h2] * 6
     in_specs = (
         [b_tile] * 3 + mv_specs + [b_tile] * 3
         + [pl.BlockSpec(memory_space=pltpu.SMEM),  # stay_tr

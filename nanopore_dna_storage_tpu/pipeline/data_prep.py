@@ -87,17 +87,65 @@ def shard_read_ids(read_ids: Sequence[str], num_shards: int
     return [list(read_ids[i::num_shards]) for i in range(num_shards)]
 
 
+def align_counts(call: str, ref: str) -> Dict[str, int]:
+    """Global alignment error breakdown: substitutions / insertions /
+    deletions (relative to ref) from a Levenshtein traceback.
+
+    The reference computes these with minimap2 + samtools stats
+    (util/align_compute_stats.sh:22-52); a full DP alignment gives the same
+    per-category counts for the short storage oligos without the external
+    toolchain. Ties prefer diagonal (match/sub), then deletion.
+    """
+    n, m = len(call), len(ref)
+    D = np.zeros((n + 1, m + 1), np.int32)
+    D[:, 0] = np.arange(n + 1)
+    D[0, :] = np.arange(m + 1)
+    a = np.frombuffer(call.encode(), np.uint8)
+    b = np.frombuffer(ref.encode(), np.uint8)
+    for i in range(1, n + 1):
+        # vectorized row update: D[i, j] depends on D[i, j-1] (prefix scan)
+        sub = D[i - 1, :-1] + (a[i - 1] != b)
+        dele = D[i - 1, 1:] + 1
+        best = np.minimum(sub, dele)
+        run = D[i, 0]
+        row = np.empty(m, np.int32)
+        for j in range(m):  # insertion chain is inherently sequential
+            run = min(best[j], run + 1)
+            row[j] = run
+        D[i, 1:] = row
+    i, j = n, m
+    subs = ins = dels = 0
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and D[i, j] == D[i - 1, j - 1] + \
+                (a[i - 1] != b[j - 1]):
+            subs += int(a[i - 1] != b[j - 1])
+            i -= 1
+            j -= 1
+        elif j > 0 and D[i, j] == D[i, j - 1] + 1:
+            dels += 1  # ref base missing from the call
+            j -= 1
+        else:
+            ins += 1  # extra called base
+            i -= 1
+    return {"sub": subs, "ins": ins, "del": dels}
+
+
 def basecall_accuracy(calls: Dict[str, str], refs: Dict[str, str]
                       ) -> Dict[str, float]:
-    """Aggregate edit-distance stats of basecalls vs reference sequences."""
+    """Aggregate basecall error stats vs reference sequences, including the
+    per-category sub/ins/del rates of util/align_compute_stats.sh."""
     dists, lens = [], []
+    cat = {"sub": 0, "ins": 0, "del": 0}
     unaligned = 0
     for rid, call in calls.items():
         ref = refs.get(rid)
         if not ref:
             unaligned += 1
             continue
-        dists.append(levenshtein(call, ref))
+        counts = align_counts(call, ref)
+        for k in cat:
+            cat[k] += counts[k]
+        dists.append(counts["sub"] + counts["ins"] + counts["del"])
         lens.append(len(ref))
     total = sum(lens)
     return {
@@ -106,4 +154,7 @@ def basecall_accuracy(calls: Dict[str, str], refs: Dict[str, str]
         "unaligned": unaligned,
         "mean_edit_distance": float(np.mean(dists)) if dists else float("nan"),
         "error_rate": (sum(dists) / total) if total else float("nan"),
+        "sub_rate": (cat["sub"] / total) if total else float("nan"),
+        "ins_rate": (cat["ins"] / total) if total else float("nan"),
+        "del_rate": (cat["del"] / total) if total else float("nan"),
     }

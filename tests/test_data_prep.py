@@ -48,3 +48,22 @@ def test_basecall_accuracy():
     assert stats["compared"] == 2
     assert stats["unaligned"] == 1
     assert abs(stats["error_rate"] - 1 / 12) < 1e-9
+    assert abs(stats["sub_rate"] - 1 / 12) < 1e-9
+    assert stats["ins_rate"] == 0 and stats["del_rate"] == 0
+
+
+def test_align_counts_breakdown():
+    from nanopore_dna_storage_tpu.pipeline.data_prep import align_counts
+    from nanopore_dna_storage_tpu.signal.barcode import levenshtein
+
+    # substitution / insertion / deletion each classified correctly
+    assert align_counts("ACGT", "ACCT") == {"sub": 1, "ins": 0, "del": 0}
+    assert align_counts("ACGGT", "ACGT") == {"sub": 0, "ins": 1, "del": 0}
+    assert align_counts("ACT", "ACGT") == {"sub": 0, "ins": 0, "del": 1}
+    # total always equals the edit distance
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        a = "".join(rng.choice(list("ACGT"), rng.integers(0, 12)))
+        b = "".join(rng.choice(list("ACGT"), rng.integers(0, 12)))
+        c = align_counts(a, b)
+        assert c["sub"] + c["ins"] + c["del"] == levenshtein(a, b), (a, b)

@@ -27,3 +27,20 @@ def test_pallas_interpret_golden(golden_dir, name):
     msgs, _, valid = dec.decode(post[None])
     got = ["".join(map(str, m)) for m, v in zip(msgs[0], valid[0]) if v]
     assert got == _ref_lists(golden_dir, case["name"]), name
+
+
+def test_pallas_interpret_multitile(golden_dir):
+    """Multi-tile conv axis (CT < C): the per-offset block-view expansion
+    path used by m=11/14 on hardware, exercised via m=8 with a forced
+    128-lane tile."""
+    case = next(c for c in _cases(golden_dir) if c["name"] == "m8_r5_rc1_l8")
+    cfg = DecodeConfig(
+        code=ConvCodeConfig(mem=case["mem"], rate=case["rate"],
+                            msg_len=case["msg_len"], rc=case["rc"]),
+        list_size=case["list_size"], max_deviation=case["max_deviation"],
+        backend="pallas_interpret", pallas_ct=128)
+    dec = LVADecoder(cfg)
+    post = _load_post(golden_dir, case["name"])
+    msgs, _, valid = dec.decode(post[None])
+    got = ["".join(map(str, m)) for m, v in zip(msgs[0], valid[0]) if v]
+    assert got == _ref_lists(golden_dir, case["name"])
