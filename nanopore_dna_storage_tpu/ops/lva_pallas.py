@@ -75,6 +75,15 @@ NQ_F = [1 + len(gl) for gl in G_LISTS]
 NQ_MAX = max(NQ_F)
 
 
+def sel_format(L: int):
+    """(dtype, shift) of the per-slot selection code q*shift + lsrc.
+
+    q <= 7 (NQ_MAX - 1), so for L <= 16 the code fits int8
+    (max 7*16 + 15 = 127), halving the [T, W, 8*L, C] selections buffer -
+    decisive for m=14, whose int16 selections alone exceed HBM."""
+    return (jnp.int8, 16) if L <= 16 else (jnp.int16, 64)
+
+
 def bitrev_perm(m: int) -> np.ndarray:
     """perm[r] = bit-reversal of r over m bits (an involution)."""
     s = np.arange(1 << m, dtype=np.int64)
@@ -244,7 +253,7 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                 o_sc[0, f] = s_sc[0, f]
                 o_h1[0, f] = s_h1[0, f]
                 o_h2[0, f] = s_h2[0, f]
-            o_sel[0] = jnp.full((NCRF * L, CT), -1, jnp.int16)
+            o_sel[0] = jnp.full((NCRF * L, CT), -1, sel_format(L)[0])
 
         @pl.when(act)
         def _main():
@@ -408,7 +417,7 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                     osc = jnp.where(put, val[None], osc)
                     oh1 = jnp.where(put, ch1[None], oh1)
                     oh2 = jnp.where(put, ch2[None], oh2)
-                    code = (bq // L) * 64 + (bq % L)
+                    code = (bq // L) * sel_format(L)[1] + (bq % L)
                     osel = jnp.where(put, code[None], osel)
                     return (rnd + 1, csc, osc, oh1, oh2, osel, jnp.any(ok))
 
@@ -442,7 +451,7 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
             sel_flop = merge_group([4, 5, 6, 7])
             o_sel[0] = jnp.concatenate(
                 [jnp.moveaxis(sel_flip, 1, 0), jnp.moveaxis(sel_flop, 1, 0)]
-            ).reshape(NCRF * L, CT).astype(jnp.int16)
+            ).reshape(NCRF * L, CT).astype(sel_format(L)[0])
 
     return kernel
 
@@ -513,7 +522,7 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
         jax.ShapeDtypeStruct((P, NCRF, L, C), jnp.float32),
         jax.ShapeDtypeStruct((P, NCRF, L, C), jnp.int32),
         jax.ShapeDtypeStruct((P, NCRF, L, C), jnp.int32),
-        jax.ShapeDtypeStruct((W, NCRF * L, C), jnp.int16),
+        jax.ShapeDtypeStruct((W, NCRF * L, C), sel_format(L)[0]),
     ]
     stale_base = 1 + 3 + len(mv_args)  # arg index of s_sc (incl. scalar)
     kern = _make_kernel(spec, consts, interpret)
@@ -659,8 +668,9 @@ def _traceback(spec, consts, tbdev, sels0, sels1, starts, nblk, tlo, thi):
         w_i = jnp.clip(st["pos"] - start_t - 1, 0, sel_t.shape[0] - 1)
         flat = (w_i * (NCRF * L) + st["f"] * L + st["slot"]) * C + st["conv"]
         code = jnp.take(sel_t.reshape(-1), flat).astype(jnp.int32)
-        q = jnp.clip(code // 64, 0, NQ_MAX - 1)
-        lsrc = jnp.clip(code % 64, 0, L - 1)
+        sshift = sel_format(L)[1]
+        q = jnp.clip(code // sshift, 0, NQ_MAX - 1)
+        lsrc = jnp.clip(code % sshift, 0, L - 1)
         g = qmap[st["f"], q]  # CRF predecessor
         is_stay = q == 0
         pat = pattern[st["pos"]]

@@ -22,7 +22,8 @@ def main(mem, dev, B, chunks, T=512, L=8, backend="xla", ct=0):
 
     mem, dev, B, chunks, T, L, ct = (
         int(x) for x in (mem, dev, B, chunks, T, L, ct))
-    msg_len = {6: 100, 8: 100, 11: 180, 14: 180}[mem]
+    # m=14 r=5/6 needs the 1 pad bit (181, cf. BASELINE.md Table 1)
+    msg_len = {6: 100, 8: 100, 11: 180, 14: 181}[mem]
     rate = {6: 1, 8: 5, 11: 5, 14: 5}[mem]
     cfg = ConvCodeConfig(mem=mem, rate=rate, msg_len=msg_len)
     rng = np.random.default_rng(0)
