@@ -130,6 +130,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
                     help="tiny m=6 config for CI")
+    ap.add_argument("--config", default="m11",
+                    choices=["m11", "m14"],
+                    help="m11 = headline production decode; m14 = the "
+                         "best-reading-cost config (supplementary Table 2)")
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--reads", type=int, default=0)
     ap.add_argument("--skip-cpp", action="store_true")
@@ -153,6 +157,15 @@ def main():
         batch = args.batch or 8
         n_reads = args.reads or 16
         metric = "reads_per_s_m6_r1_l4_smoke"
+    elif args.config == "m14":
+        # the largest trellis (C=16384): m=14 r=5/6 L=4 with the 1 pad bit
+        # (msg_len 181, BASELINE.md Table 1); hardware-validated at
+        # 8.24 s/read via scripts/tpu_run_probe.py
+        cfg = ConvCodeConfig(mem=14, rate=5, msg_len=181)
+        list_size, dev = 4, 20
+        batch = args.batch or 1
+        n_reads = args.reads or 2
+        metric = "reads_per_s_m14_r5l6_l4"
     else:
         cfg = ConvCodeConfig(mem=11, rate=5, msg_len=180)
         list_size, dev = 8, 20
@@ -202,7 +215,7 @@ def main():
         for b in [x for x in dict.fromkeys([batch, 2, 1]) if x >= 1]:
             cmd = [sys.executable, __file__, "--child", "--batch", str(b),
                    "--reads", str(n_reads), "--skip-cpp",
-                   "--backend", args.backend]
+                   "--backend", args.backend, "--config", args.config]
             if args.smoke:
                 cmd.append("--smoke")
             if args.profile:
@@ -242,7 +255,10 @@ def main():
     if key not in baseline and not args.skip_cpp:
         binary = build_ref_binary()
         if binary:
-            spr = measure_cpp(binary, posts, cfg, list_size, dev)
+            # m=14 takes ~15 min/read single-core; one read is enough for
+            # the denominator (decode time is data-independent to ~1%)
+            spr = measure_cpp(binary, posts, cfg, list_size, dev,
+                              max_reads=1 if cfg.mem >= 14 else 3)
             baseline[key] = 1.0 / spr
             BASELINE_CACHE.write_text(json.dumps(baseline))
     cpp_rps = baseline.get(key)
