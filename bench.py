@@ -133,7 +133,7 @@ def main():
     ap.add_argument("--config", default="m11",
                     choices=["m11", "m14"],
                     help="m11 = headline production decode; m14 = the "
-                         "best-reading-cost config (supplementary Table 2)")
+                         "largest-trellis config (m=14 r=5/6 L=4, C=16384)")
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--reads", type=int, default=0)
     ap.add_argument("--skip-cpp", action="store_true")
@@ -212,7 +212,9 @@ def main():
         tpu_rps = run_with_batch(batch)
     else:
         import sys
-        for b in [x for x in dict.fromkeys([batch, 2, 1]) if x >= 1]:
+        # only ever fall back to SMALLER batches: larger ones cost more HBM
+        # and would burn the child timeout on a doomed compile
+        for b in [x for x in dict.fromkeys([batch, 2, 1]) if 1 <= x <= batch]:
             cmd = [sys.executable, __file__, "--child", "--batch", str(b),
                    "--reads", str(n_reads), "--skip-cpp",
                    "--backend", args.backend, "--config", args.config]

@@ -3,10 +3,13 @@
 
 Usage: python scripts/tpu_ct_probe.py [CT]
 """
+import pathlib
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main():
