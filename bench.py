@@ -24,6 +24,11 @@ import time
 
 import numpy as np
 
+# persistent compile cache: the m>=11 kernels take minutes to compile and
+# every bench attempt runs in a fresh subprocess (axon worker crash
+# isolation) — must be set before jax initializes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 REPO = pathlib.Path(__file__).resolve().parent
 BASELINE_CACHE = REPO / ".bench_baseline.json"
 REF_SRC = "/root/reference/viterbi/viterbi_convolutional_code.cpp"
@@ -109,6 +114,37 @@ def profile_breakdown(dec, packed, nblks, outdir="/tmp/nds_bench_trace"):
             "top_ops": top}
 
 
+def verify_lists(dec, packed, nblks, posts, cfg, list_size, dev,
+                 n_verify: int) -> bool | None:
+    """Decode the first reads with the reference binary on the SAME posts
+    and require bit-for-bit identical lists (BASELINE.json: 'identical
+    decoded lists required'). Returns None if the binary can't be built."""
+    binary = build_ref_binary()
+    if not binary:
+        return None
+    td = pathlib.Path(tempfile.mkdtemp())
+    m, sc, v = dec.decode(packed[:n_verify], nblks[:n_verify])
+    match = True
+    for i in range(n_verify):
+        pf = td / f"{i}.post"
+        posts[i].astype("<f4").tofile(pf)
+        of = td / f"{i}.out"
+        subprocess.run(
+            [binary, "-m", "decode", "-i", str(pf), "-o", str(of),
+             "--mem-conv", str(cfg.mem), "--msg-len", str(cfg.msg_len),
+             "-l", str(list_size), "-r", str(cfg.rate), "-t", "4",
+             "--max-deviation", str(dev)],
+            check=True, capture_output=True)
+        ref = [ln.strip() for ln in of.read_text().splitlines()
+               if ln.strip()]
+        got = ["".join(map(str, mm)) for mm, vv in zip(m[i], v[i]) if vv]
+        if ref != got:
+            match = False
+            print(f"# verify MISMATCH read {i}: ref {len(ref)} lists, "
+                  f"got {len(got)}", flush=True)
+    return match
+
+
 def wait_for_worker(max_wait_s: float = 180.0) -> bool:
     """A TPU compile crash kills the axon worker for a while; poll until a
     trivial jitted op succeeds in a fresh subprocess."""
@@ -131,9 +167,12 @@ def main():
     ap.add_argument("--smoke", action="store_true",
                     help="tiny m=6 config for CI")
     ap.add_argument("--config", default="m11",
-                    choices=["m11", "m14"],
+                    choices=["m11", "m14", "m14best", "m8"],
                     help="m11 = headline production decode; m14 = the "
-                         "largest-trellis config (m=14 r=5/6 L=4, C=16384)")
+                         "largest-trellis config (m=14 r=5/6 L=4, C=16384); "
+                         "m14best = the best-reading-cost config (m=14 "
+                         "r=1/2 L=4, supplementary Table 2); m8 = the "
+                         "large-list config (m=8 r=1/2 L=64, experiment 0)")
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--reads", type=int, default=0)
     ap.add_argument("--skip-cpp", action="store_true")
@@ -143,6 +182,10 @@ def main():
     ap.add_argument("--profile", action="store_true",
                     help="also capture a device trace and report the "
                          "kernel share of device time")
+    ap.add_argument("--verify", action="store_true",
+                    help="decode the first read(s) with the reference "
+                         "binary on the same posts and require identical "
+                         "lists (adds lists_match to the JSON)")
     ap.add_argument("--child", action="store_true",
                     help="internal: single-batch attempt, no fallback")
     args = ap.parse_args()
@@ -166,12 +209,31 @@ def main():
         batch = args.batch or 1
         n_reads = args.reads or 2
         metric = "reads_per_s_m14_r5l6_l4"
+    elif args.config == "m14best":
+        # the best-reading-cost config: m=14 r=1/2 L=4, 4.42 bases/bit
+        # (supplementary Table 2; experiment 2 uses msg_len 100)
+        cfg = ConvCodeConfig(mem=14, rate=1, msg_len=100)
+        list_size, dev = 4, 20
+        batch = args.batch or 1
+        n_reads = args.reads or 2
+        metric = "reads_per_s_m14_r1l2_l4"
+    elif args.config == "m8":
+        # the large-list config: m=8 r=1/2 L=64 (default list size 64 for
+        # m=8, supplementary §5.2; experiment 0 msg_len 100)
+        cfg = ConvCodeConfig(mem=8, rate=1, msg_len=100)
+        list_size, dev = 64, 20
+        batch = args.batch or 1
+        n_reads = args.reads or 2
+        metric = "reads_per_s_m8_r1l2_l64"
     else:
         cfg = ConvCodeConfig(mem=11, rate=5, msg_len=180)
         list_size, dev = 8, 20
-        # the decode is VPU-compute-bound, so batching does not raise
-        # throughput (measured: 5.15 s/read at B=1 vs 18.2/2=9.1 at B=2
-        # before kernel v2); run batch 1
+        # batch 1 is the single-chip throughput point at kernel v8
+        # (chunked): 2.44 s/read at B=1 vs 3.94 at B=2 and 3.91 at B=4 —
+        # the decode is VPU-compute-bound (99% kernel share) and vmap over
+        # the kernel additionally breaks carry-buffer aliasing, so larger
+        # batches only add copies. Scale-out shards READS over chips
+        # (parallel/mesh.py), not bigger per-chip batches.
         batch = args.batch or 1
         n_reads = args.reads or 4
         metric = "reads_per_s_m11_r5l6_l8"
@@ -200,6 +262,11 @@ def main():
         if args.profile:
             prof = profile_breakdown(dec, packed[:b], nblks[:b])
             print(f"# profile: {json.dumps(prof)}", flush=True)
+        if args.verify:
+            nver = 1 if cfg.mem >= 14 else min(n_reads, 2)
+            ok = verify_lists(dec, packed, nblks, posts, cfg, list_size,
+                              dev, nver)
+            print(f"# lists_match: {json.dumps(ok)}", flush=True)
         return rps
 
     # a crashed/flaky TPU worker or HBM pressure should degrade, not fail.
@@ -208,6 +275,7 @@ def main():
     # smaller batch would inherit a dead client. The parent waits for worker
     # recovery between attempts.
     tpu_rps = None
+    lists_match = None
     if args.child:
         tpu_rps = run_with_batch(batch)
     else:
@@ -222,17 +290,21 @@ def main():
                 cmd.append("--smoke")
             if args.profile:
                 cmd.append("--profile")
+            if args.verify:
+                cmd.append("--verify")
             if args.merge_rounds is not None:
                 cmd += ["--merge-rounds", str(args.merge_rounds)]
             try:
                 r = subprocess.run(cmd, capture_output=True, text=True,
-                                   timeout=1200)
+                                   timeout=2400 if args.verify else 1200)
             except subprocess.TimeoutExpired:
                 print(f"# batch {b} timed out", flush=True)
                 continue
             for ln in r.stdout.splitlines():
                 if ln.startswith("# profile"):
                     print(ln, flush=True)
+                if ln.startswith("# lists_match:"):
+                    lists_match = json.loads(ln.split(":", 1)[1])
             line = next((ln for ln in r.stdout.splitlines()
                          if ln.startswith("{")), None)
             if r.returncode == 0 and line:
@@ -266,7 +338,7 @@ def main():
     cpp_rps = baseline.get(key)
     vs = tpu_rps / cpp_rps if cpp_rps else None
 
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(tpu_rps, 3),
         "unit": "reads/s",
@@ -275,7 +347,10 @@ def main():
         "batch": batch,
         "s_per_read": round(1.0 / tpu_rps, 3),
         "cpp_s_per_read": round(1.0 / cpp_rps, 1) if cpp_rps else None,
-    }))
+    }
+    if args.verify and not args.child:
+        out["lists_match"] = lists_match
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -76,6 +76,10 @@ class DecodeConfig:
     # Codes whose whole conv axis fits one tile (m <= 11) run the
     # single-tile fast path (no reshaped HBM views).
     pallas_ct: Optional[int] = None
+    # Signal blocks per jitted chunk program of the pallas decode (must be
+    # even). The chunk loop bounds peak HBM at one selections copy and is
+    # the sharding seam (docs/DESIGN.md §6).
+    pallas_chunk: int = 128
 
     def __post_init__(self):
         if self.path_combine not in ("max", "logsumexp"):

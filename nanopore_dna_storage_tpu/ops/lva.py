@@ -482,14 +482,16 @@ def _unpack_msgs(spec: LVASpec, msgs: np.ndarray) -> np.ndarray:
 class LVADecoder:
     """Jitted batched list-Viterbi decoder for one DecodeConfig."""
 
-    def __init__(self, cfg: DecodeConfig):
+    def __init__(self, cfg: DecodeConfig, mesh=None):
         self.cfg = cfg
         self.spec, self.tables = LVASpec.build(cfg)
         if cfg.backend in ("pallas", "pallas_interpret"):
             from .lva_pallas import PallasDecoder
 
             self._pallas = PallasDecoder(self.spec, self.tables,
-                                         ct=cfg.pallas_ct)
+                                         ct=cfg.pallas_ct,
+                                         chunk_blocks=cfg.pallas_chunk,
+                                         mesh=mesh)
         else:
             self._pallas = None
             consts = _consts(self.spec, self.tables)

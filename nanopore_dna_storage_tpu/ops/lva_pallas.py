@@ -201,6 +201,15 @@ def _stage_shifts(ct: int, nst: int):
     return (one_pass * 2)[:nst]
 
 
+def _narrow(spec, consts) -> bool:
+    """Large lists (production m=8 uses L=64, supplementary §5.2) blow the
+    VMEM budget if all candidate expansions ride one stacked butterfly
+    (the xpd2 scratch is 4*3*8*L*CT floats — 50 MB at L=64, CT=256); the
+    narrow path loops candidates through a single-slot scratch and
+    accumulates each straight into the compacted per-base planes."""
+    return spec.list_size > 16
+
+
 def _make_kernel(spec, consts: PallasConsts, interpret: bool):
     """Build the per-block ACS kernel (one grid step per (window position,
     conv tile); CRF destinations unrolled inside).
@@ -224,6 +233,7 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
     sh_k4 = _stage_shifts(CT, consts.nstages[1])
     roll = jnp.roll if interpret else pltpu.roll
     small = consts.ct == spec.code.nstate_conv  # one conv tile
+    narrow = _narrow(spec, consts)
     i32f = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.float32)
     f32i = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.int32)
 
@@ -282,27 +292,38 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                 xpd[1] = i32f(r_h1[0])
                 xpd[2] = i32f(r_h2[0])
 
-            def expand_all(kvar, ncs):
-                """All ncs candidate expansions as ONE wide butterfly. The
-                candidates differ only by where their source slice sits:
-                a pre-roll of the shared stacked row (single-tile codes) or
-                a per-offset block view (multi-tile codes)."""
+            def _fill_src(slot, kvar, c):
+                """Stage candidate c's source into xpd2[slot] (a pre-roll
+                of the shared stacked row for single-tile codes, a
+                per-offset block view for multi-tile codes)."""
                 k = 2 << kvar
                 n = CT // k
+                qoff = c if kvar == 0 else ((c & 1) << 1) | (c >> 1)
+                if small:
+                    a = (qoff * n) % CT
+                    xpd2[slot] = roll(xpd[:], CT - a, 3) if a else xpd[:]
+                else:
+                    v = k2v[qoff] if kvar == 0 else k4v[qoff]
+                    xpd2[slot, 0] = jnp.tile(v[0][0], (1, 1, k))
+                    xpd2[slot, 1] = i32f(jnp.tile(v[1][0], (1, 1, k)))
+                    xpd2[slot, 2] = i32f(jnp.tile(v[2][0], (1, 1, k)))
+
+            def expand_all(kvar, ncs):
+                """All ncs candidate expansions as ONE wide butterfly."""
                 for c in range(ncs):
-                    qoff = c if kvar == 0 else ((c & 1) << 1) | (c >> 1)
-                    if small:
-                        a = (qoff * n) % CT
-                        xpd2[c] = roll(xpd[:], CT - a, 3) if a else xpd[:]
-                    else:
-                        v = k2v[qoff] if kvar == 0 else k4v[qoff]
-                        xpd2[c, 0] = jnp.tile(v[0][0], (1, 1, k))
-                        xpd2[c, 1] = i32f(jnp.tile(v[1][0], (1, 1, k)))
-                        xpd2[c, 2] = i32f(jnp.tile(v[2][0], (1, 1, k)))
+                    _fill_src(c, kvar, c)
                 y = butterfly(xpd2[0:ncs], takes2 if kvar == 0 else takes4,
                               sh_k2 if kvar == 0 else sh_k4)
                 return [(y[c, 0], f32i(y[c, 1]), f32i(y[c, 2]))
                         for c in range(ncs)]
+
+            def expand_one(kvar, c):
+                """One candidate through the single-slot scratch (narrow
+                path, see _narrow)."""
+                _fill_src(0, kvar, c)
+                y = butterfly(xpd2[0:1], takes2 if kvar == 0 else takes4,
+                              sh_k2 if kvar == 0 else sh_k4)
+                return y[0, 0], y[0, 1], y[0, 2]  # f32 bit patterns
 
             # ---- compact candidates by emitted base ----------------------
             # cand[beta] = the one (c-compacted) move candidate plane per
@@ -317,14 +338,48 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                 ncs = 2 if kvar == 0 else NC
                 shift = 1 if kvar == 0 else 2
                 nb = nbrev[kvar][None, None, :]
+
+                def bo_of(c):  # [CT] emitted base per lane for candidate c
+                    return borev[0, c] if kvar == 0 else \
+                        borev[pl.ds(pat, 1), c][0]
+
+                if narrow:
+                    # accumulate each candidate straight into the cnd
+                    # scratch (f32 bit-pattern domain for the hashes) so
+                    # only one expansion is ever live
+                    NEGa = jnp.full((NCRF, L, CT), NEG, jnp.float32)
+                    Zf = jnp.zeros((NCRF, L, CT), jnp.float32)
+                    for beta in range(4):
+                        cnd[3 * beta] = NEGa
+                        cnd[3 * beta + 1] = Zf
+                        cnd[3 * beta + 2] = Zf
+                    for c in range(ncs):
+                        sc_e, h1f, h2f = expand_one(kvar, c)
+                        bo_c = bo_of(c)
+                        for beta in range(4):
+                            mb = (bo_c == beta)[None, None, :]
+                            cnd[3 * beta] = jnp.where(mb, sc_e,
+                                                      cnd[3 * beta])
+                            cnd[3 * beta + 1] = jnp.where(
+                                mb, h1f, cnd[3 * beta + 1])
+                            cnd[3 * beta + 2] = jnp.where(
+                                mb, h2f, cnd[3 * beta + 2])
+                    for beta in range(4):
+                        cnd[3 * beta] = jnp.where(posgate, cnd[3 * beta],
+                                                  NEG)
+                        cnd[3 * beta + 1] = i32f(_hupd(
+                            f32i(cnd[3 * beta + 1]), shift, nb, HASH_P1))
+                        cnd[3 * beta + 2] = i32f(_hupd(
+                            f32i(cnd[3 * beta + 2]), shift, nb, HASH_P2))
+                    return
+
                 NEGa = jnp.full((NCRF, L, CT), NEG, jnp.float32)
                 Z = jnp.zeros((NCRF, L, CT), jnp.int32)
                 acc = [[NEGa, Z, Z] for _ in range(4)]
                 exp_c = expand_all(kvar, ncs)
                 for c in range(ncs):
                     sc_e, h1_e, h2_e = exp_c[c]
-                    bo_c = borev[0, c] if kvar == 0 else \
-                        borev[pl.ds(pat, 1), c][0]  # [CT]
+                    bo_c = bo_of(c)
                     for beta in range(4):
                         mb = (bo_c == beta)[None, None, :]
                         a = acc[beta]
@@ -532,7 +587,9 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
             num_scalar_prefetch=1, grid=(W, n_ct), in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((3, NCRF, L, CT), jnp.float32),
-                            pltpu.VMEM((4, 3, NCRF, L, CT), jnp.float32),
+                            pltpu.VMEM(
+                                (1 if _narrow(spec, consts) else 4,
+                                 3, NCRF, L, CT), jnp.float32),
                             pltpu.VMEM((12, NCRF, L, CT), jnp.float32)]),
         out_shape=out_shape,
         input_output_aliases={stale_base: 0, stale_base + 1: 1,
@@ -554,8 +611,24 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
 
 
 # ---------------------------------------------------------------------------
-# Forward scan + traceback
+# Forward scan + traceback (chunked over signal blocks)
 # ---------------------------------------------------------------------------
+#
+# The forward emits per-block selections consumed by the traceback. Keeping
+# the whole [T, W, 8L, C] selections tensor inside ONE jitted
+# forward+traceback program made XLA hold roughly two copies of it (the
+# scan ys plus the reverse-scan view), which pinned batch=1 and OOM'd
+# m=14 r=1/2. The decode now runs as a host-orchestrated loop of jitted
+# CHUNK programs over K-block slices: forward chunks carry the (prev,
+# stale) buffers with donation (so the carries alias in place) and emit
+# only their own K-block selections slice; traceback chunks walk the
+# slices in reverse, dropping each slice's device buffer as soon as it is
+# consumed. Peak HBM is one selections copy plus one buffer set, and the
+# chunk loop is the natural seam for sharding (parallel/mesh.py wraps the
+# chunk programs in shard_map over the batch axis). Host<->device traffic
+# stays at O(posts + lists): the axon tunnel moves ~30 MB/s, so selections
+# can never leave the device.
+
 
 def _init_buffers(spec, consts: PallasConsts):
     C, L = spec.code.nstate_conv, spec.list_size
@@ -567,10 +640,13 @@ def _init_buffers(spec, consts: PallasConsts):
     return (sc, h, h, o, jnp.zeros_like(h), jnp.zeros_like(h))
 
 
-def _forward(spec, consts, cdev, post, starts, nblk, interpret):
-    """Scan the ACS kernel over signal blocks; returns final scores at
-    (last position, final conv state) [8, L] and paired selections
-    ([T/2, W, 8L, C], [T/2, W, 8L, C]) for even/odd blocks.
+def _forward_chunk(spec, consts, cdev, interpret, carry, post, starts,
+                   active):
+    """Scan the ACS kernel over one K-block slice.
+
+    carry: ((sc,h1,h2) prev, (sc,h1,h2) stale); post [K,5,8]; starts [K];
+    active [K] bool. Returns (carry', sels0, sels1) with selections paired
+    ([K/2, W, 8L, C] each) for even/odd blocks of the slice.
 
     Two blocks per scan step: the (prev, stale) buffer roles swap every
     block, and a one-block step would permute the scan carry — which XLA
@@ -578,10 +654,8 @@ def _forward(spec, consts, cdev, post, starts, nblk, interpret):
     step returns each buffer in the carry slot it arrived in, so with the
     kernel's input_output_aliases the whole scan runs copy-free.
     """
-    T = post.shape[0]
-    assert T % 2 == 0, "pack_posts buckets to a multiple of 128"
-    bufs = _init_buffers(spec, consts)
-    active = jnp.arange(T) < nblk
+    K = post.shape[0]
+    assert K % 2 == 0
 
     def step(carry, xs):
         pA, pB = carry  # pA = prev (sc,h1,h2), pB = stale
@@ -595,17 +669,22 @@ def _forward(spec, consts, cdev, post, starts, nblk, interpret):
         # n1 occupies pA's storage, n0 pB's: carry slots keep their buffers
         return (n1[:3], n0[:3]), (n0[3], n1[3])
 
-    pair = lambda a: a.reshape((T // 2, 2) + a.shape[1:])  # noqa: E731
+    pair = lambda a: a.reshape((K // 2, 2) + a.shape[1:])  # noqa: E731
     carry, (sels0, sels1) = jax.lax.scan(
-        step, (bufs[:3], bufs[3:]),
-        (pair(post), pair(starts), pair(active)))
-    # buffer written at the last active step t = nblk-1 (cf. ops/lva.py):
-    # carry[0] was written at block T-1, carry[1] at block T-2
+        step, carry, (pair(post), pair(starts), pair(active)))
+    return carry, sels0, sels1
+
+
+def _final_scores(spec, consts, carry, T, nblk):
+    """Scores at (last position, final conv state) [8, L] after all chunks.
+
+    The buffer written at the read's last active step t = nblk-1: carry[0]
+    was written at block T-1, carry[1] at block T-2 (cf. ops/lva.py).
+    """
     same = (T - nblk) % 2 == 0
     fsc = jnp.where(same, carry[0][0], carry[1][0])
     last_row = spec.code.nstate_pos - 1 + 1
-    fin = fsc[last_row, :, :, consts.final_rev]  # [8, L]
-    return fin, sels0, sels1
+    return fsc[last_row, :, :, consts.final_rev]  # [8, L]
 
 
 def window_bounds(starts_np: np.ndarray, nblk: int, npos_pad: int, W: int):
@@ -624,42 +703,53 @@ def window_bounds(starts_np: np.ndarray, nblk: int, npos_pad: int, W: int):
     return tlo.astype(np.int32), thi.astype(np.int32)
 
 
-def _traceback(spec, consts, tbdev, sels0, sels1, starts, nblk, tlo, thi):
-    """Reconstruct packed messages for all 8*L final-state chains by walking
-    the per-block selections backward.
+def _tb_init(spec, consts, tlo, thi, nblk):
+    """Initial traceback state: all 8*L chains parked at the final state."""
+    L = spec.list_size
+    nch = NCRF * L
+    Mw = -(-(spec.code.config.msg_len + spec.code.mem) // 32)
+    last_row = spec.code.nstate_pos - 1 + 1
+    ch = jnp.arange(nch, dtype=jnp.int32)
+    par0 = (nblk - 1) % 2
+    tw0 = _lastwrite(tlo, thi, jnp.full((nch,), last_row), nblk - 1, par0)
+    return dict(
+        pos=jnp.full((nch,), last_row, jnp.int32),
+        conv=jnp.full((nch,), consts.final_rev, jnp.int32),
+        f=ch // L, slot=ch % L,
+        tw=tw0,
+        words=jnp.zeros((nch, Mw), jnp.int32),
+        bitcnt=jnp.zeros((nch,), jnp.int32),
+        alive=jnp.ones((nch,), bool),
+        okend=jnp.zeros((nch,), bool),
+    )
 
-    Replicates the reference's double-buffer staleness: the value a block t
-    read for row r was written at the largest t' <= t-1 with
+
+def _lastwrite(tlo, thi, row, tmax, par):
+    """Largest block t' <= tmax with parity ``par`` whose window wrote
+    ``row``; -1 if the read would hit the initial buffers."""
+    x = jnp.minimum(tmax, thi[row])
+    x = x - ((x - par) & 1)
+    return jnp.where(x >= tlo[row], x, -1)
+
+
+def _tb_chunk(spec, consts, tbdev, tlo, thi, st, t0, sels0, sels1, starts):
+    """Walk one K-block selections slice backward (blocks t0..t0+K-1),
+    carrying the traceback state across chunks.
+
+    Reconstructs packed messages for all 8*L final-state chains,
+    replicating the reference's double-buffer staleness: the value a block
+    t read for row r was written at the largest t' <= t-1 with
     t' = t-1 (mod 2) and r inside window(t'); if no such t', the read hit
     the initial buffers (parity-1 buffer holds the single seeded state,
     cpp:607-620,667-687).
     """
     C = spec.code.nstate_conv
     L = spec.list_size
-    nch = NCRF * L
-    Mw = -(-(spec.code.config.msg_len + spec.code.mem) // 32)
-    T = 2 * sels0.shape[0]
-    last_row = spec.code.nstate_pos - 1 + 1
+    Mw = st["words"].shape[-1]
+    K = 2 * sels0.shape[0]
     qmap, pattern, nbrev = tbdev["qmap"], tbdev["pattern"], tbdev["nbrev"]
     cstar = tbdev["cstar"]  # [4 pat, 4 base, C]
-
-    def lastwrite(row, tmax, par):
-        x = jnp.minimum(tmax, thi[row])
-        x = x - ((x - par) & 1)
-        return jnp.where(x >= tlo[row], x, -1)
-
-    ch = jnp.arange(nch, dtype=jnp.int32)
-    par0 = (nblk - 1) % 2
-    st0 = dict(
-        pos=jnp.full((nch,), last_row, jnp.int32),
-        conv=jnp.full((nch,), consts.final_rev, jnp.int32),
-        f=ch // L, slot=ch % L,
-        tw=lastwrite(jnp.full((nch,), last_row), nblk - 1, par0),
-        words=jnp.zeros((nch, Mw), jnp.int32),
-        bitcnt=jnp.zeros((nch,), jnp.int32),
-        alive=jnp.ones((nch,), bool),
-        okend=jnp.zeros((nch,), bool),
-    )
+    lastwrite = partial(_lastwrite, tlo, thi)
     wi_ids = jnp.arange(Mw, dtype=jnp.int32)
 
     def step(st, xs):
@@ -711,29 +801,41 @@ def _traceback(spec, consts, tbdev, sels0, sels1, starts, nblk, tlo, thi):
             alive=st["alive"] & ~(act & (ntw < 0)),
             okend=okend), ()
 
-    # paired reverse scan matching _forward's 2-block steps: within a pair,
-    # the odd block runs first when walking backward
+    # paired reverse scan matching the forward's 2-block steps: within a
+    # pair, the odd block runs first when walking backward
     def pair_step(st, xs):
-        t0, sel_t0, sel_t1, start_t0, start_t1 = xs
-        st, _ = step(st, (t0 + 1, sel_t1, start_t1))
-        return step(st, (t0, sel_t0, start_t0))
+        tp, sel_t0, sel_t1, start_t0, start_t1 = xs
+        st, _ = step(st, (tp + 1, sel_t1, start_t1))
+        return step(st, (tp, sel_t0, start_t0))
 
-    ts = jnp.arange(0, T, 2, dtype=jnp.int32)
+    ts = t0 + jnp.arange(0, K, 2, dtype=jnp.int32)
     st, _ = jax.lax.scan(
-        pair_step, st0,
+        pair_step, st,
         (ts, sels0, sels1,
-         starts.reshape(T // 2, 2)[:, 0], starts.reshape(T // 2, 2)[:, 1]),
+         starts.reshape(K // 2, 2)[:, 0], starts.reshape(K // 2, 2)[:, 1]),
         reverse=True)
-    return st["words"], st["okend"]
+    return st
 
 
 class PallasDecoder:
-    """Batched list-Viterbi decode via the fused kernel + traceback."""
+    """Batched list-Viterbi decode via the fused kernel + traceback.
 
-    def __init__(self, spec, tabs, ct: int | None = None):
+    The decode is a host-orchestrated loop of jitted chunk programs (see
+    the chunking note above _init_buffers). ``mesh`` wraps every chunk
+    program in ``shard_map`` over the mesh's 'data' axis, sharding the
+    batch — pallas_call is not partitionable by GSPMD, so this is THE
+    multi-chip path (parallel/mesh.py builds on it). B=1 runs unbatched
+    programs: vmap at B=1 materializes a squeeze/copy of every carry
+    buffer around each kernel call (~0.7 s/read for m=11).
+    """
+
+    def __init__(self, spec, tabs, ct: int | None = None,
+                 chunk_blocks: int = 128, mesh=None):
         self.spec = spec
         self.interpret = spec.backend == "pallas_interpret"
         self.consts = build_consts(spec, tabs, ct)
+        self.chunk_blocks = max(2, chunk_blocks - chunk_blocks % 2)
+        self.mesh = mesh
         c = self.consts
         self._cdev = dict(
             borev=jnp.asarray(c.borev), nbrev=jnp.asarray(c.nbrev),
@@ -744,41 +846,160 @@ class PallasDecoder:
         self._tbdev = dict(
             qmap=jnp.asarray(c.qmap), pattern=jnp.asarray(c.pattern),
             nbrev=jnp.asarray(c.nbrev), cstar=jnp.asarray(c.cstar))
+        self._fns = {}
+
+    # -- per-batch-size jitted chunk programs (cached) ---------------------
+    def _get_fns(self, B: int | None):
+        """B=None: unbatched programs; B>=1: vmapped (+ shard_mapped when a
+        mesh is set) programs over a leading batch axis."""
+        if B in self._fns:
+            return self._fns[B]
+        spec, c = self.spec, self.consts
         L = spec.list_size
 
-        def full(post, starts, nblk, tlo, thi):
-            fin, sels0, sels1 = _forward(spec, c, self._cdev, post, starts,
-                                         nblk, self.interpret)
-            words, okend = _traceback(spec, c, self._tbdev, sels0, sels1,
-                                      starts, nblk, tlo, thi)
-            flat = fin.reshape(-1)
-            order = jnp.argsort(-flat, stable=True)[:L]
-            return flat[order], words[order], okend[order]
+        def fwd(carry, post, starts, active):
+            return _forward_chunk(spec, c, self._cdev, self.interpret,
+                                  carry, post, starts, active)
 
-        # vmap at B=1 materializes a squeeze/copy of every carry buffer
-        # around each kernel call (~0.7 s/read for m=11); single reads run
-        # the unbatched program
-        self._fn = jax.jit(jax.vmap(full))
-        self._fn1 = jax.jit(
-            lambda post, starts, nblk, tlo, thi: jax.tree.map(
-                lambda x: x[None],
-                full(post[0], starts[0], nblk[0], tlo[0], thi[0])))
+        def tb(tlo, thi, st, t0, s0, s1, starts):
+            return _tb_chunk(spec, c, self._tbdev, tlo, thi, st, t0, s0,
+                             s1, starts)
+
+        def init():
+            b = _init_buffers(spec, c)
+            return (b[:3], b[3:])
+
+        def tbinit(tlo, thi, nblk):
+            return _tb_init(spec, c, tlo, thi, nblk)
+
+        def fin(carry, tT, nblk):
+            return _final_scores(spec, c, carry, tT, nblk)
+
+        def order(fin_sc, words, okend):
+            flat = fin_sc.reshape(-1)
+            idx = jnp.argsort(-flat, stable=True)[:L]
+            return flat[idx], words[idx], okend[idx]
+
+        if B is not None:
+            ndev = (1 if self.mesh is None
+                    else self.mesh.devices.size)
+            assert B % ndev == 0, "batch must divide over the mesh"
+            # inside shard_map the program sees the LOCAL batch shard
+            fwd = jax.vmap(fwd)
+            tb = jax.vmap(tb, in_axes=(0, 0, 0, None, 0, 0, 0))
+            init = jax.vmap(init, axis_size=B // ndev)
+            tbinit = jax.vmap(tbinit)
+            fin = jax.vmap(fin, in_axes=(0, None, 0))
+            order = jax.vmap(order)
+            if self.mesh is not None:
+                from jax.experimental.shard_map import shard_map
+                P = jax.sharding.PartitionSpec
+                d, r = P("data"), P()
+                mesh = self.mesh
+                cspec = ((d, d, d), (d, d, d))  # carry pytree
+
+                def smap(f, in_specs, out_specs):
+                    return shard_map(f, mesh=mesh, in_specs=in_specs,
+                                     out_specs=out_specs,
+                                     check_rep=False)
+
+                stspec = dict(pos=d, conv=d, f=d, slot=d, tw=d, words=d,
+                              bitcnt=d, alive=d, okend=d)
+                fwd = smap(fwd, (cspec, d, d, d), (cspec, d, d))
+                tb = smap(tb, (d, d, stspec, r, d, d, d), stspec)
+                init = smap(init, (), cspec)
+                tbinit = smap(tbinit, (d, d, d), stspec)
+                fin = smap(fin, (cspec, r, d), d)
+                order = smap(order, (d, d, d), (d, d, d))
+        fns = dict(
+            fwd=jax.jit(fwd, donate_argnums=(0,)),
+            tb=jax.jit(tb, donate_argnums=(2, 4, 5)),
+            init=jax.jit(init),
+            tbinit=jax.jit(tbinit),
+            fin=jax.jit(fin),
+            order=jax.jit(order),
+        )
+        self._fns[B] = fns
+        return fns
+
+    def prep(self, posts, starts, nblks):
+        """Host-side prep: pad T to whole chunks, build the traceback
+        coverage tables and the active mask. Returns numpy arrays
+        (posts, starts, nblks_i32, tlo, thi, active)."""
+        spec = self.spec
+        W, Pp = spec.window, spec.npos_pad
+        posts = np.asarray(posts, np.float32)
+        starts = np.asarray(starts, np.int32)
+        nblks = np.asarray(nblks)
+        B, T = posts.shape[:2]
+        K = min(self.chunk_blocks, T)
+        if T % K:  # pad to a whole number of chunks (inactive blocks)
+            padT = K - T % K
+            posts = np.concatenate(
+                [posts, np.zeros((B, padT, 5, 8), np.float32)], axis=1)
+            starts = np.concatenate(
+                [starts, np.repeat(starts[:, -1:], padT, axis=1)], axis=1)
+            T += padT
+        tlo = np.zeros((B, Pp), np.int32)
+        thi = np.zeros((B, Pp), np.int32)
+        for b, n in enumerate(nblks):
+            tlo[b], thi[b] = window_bounds(starts[b], int(n), Pp, W)
+        active = np.arange(T)[None, :] < nblks[:, None]
+        return posts, starts, nblks.astype(np.int32), tlo, thi, active
+
+    def decode_device(self, posts, starts, nblks, tlo, thi, active,
+                      unbatched: bool = False):
+        """Chunk-loop decode over committed device arrays (global arrays
+        under a mesh; see class docstring). All inputs batch-leading unless
+        ``unbatched``. Returns device arrays (scores [B?,L], words int32
+        [B?,L,Mw], okend [B?,L])."""
+        T = posts.shape[-3]
+        K = min(self.chunk_blocks, T)
+        fns = self._get_fns(None if unbatched else posts.shape[0])
+        tdim = posts.ndim - 3  # the block axis
+
+        def tslice(a, i, k=K):
+            return jax.lax.slice_in_dim(a, i, i + k, axis=tdim)
+
+        carry = fns["init"]()
+        chunks = []
+        for i in range(0, T, K):
+            carry, s0, s1 = fns["fwd"](
+                carry, tslice(posts, i), tslice(starts, i),
+                tslice(active, i))
+            chunks.append((s0, s1))
+        fin_sc = fns["fin"](carry, jnp.int32(T), nblks)
+        del carry
+
+        st = fns["tbinit"](tlo, thi, nblks)
+        for i in reversed(range(len(chunks))):
+            s0, s1 = chunks[i]
+            chunks[i] = None  # free the slice once consumed (donated)
+            st = fns["tb"](tlo, thi, st, jnp.int32(i * K), s0, s1,
+                           tslice(starts, i * K))
+        return fns["order"](fin_sc, st["words"], st["okend"])
 
     def decode(self, posts, starts, nblks):
         """posts [B,T,5,8] f32, starts [B,T] i32, nblks [B] -> packed words
         uint32 [B,L,Mw], scores [B,L], valid [B,L]."""
-        W = self.spec.window
-        P = self.spec.npos_pad
-        tlo = np.zeros((len(nblks), P), np.int32)
-        thi = np.zeros((len(nblks), P), np.int32)
-        for b, n in enumerate(np.asarray(nblks)):
-            tlo[b], thi[b] = window_bounds(starts[b], int(n), P, W)
-        fn = self._fn1 if len(nblks) == 1 else self._fn
-        sc, words, okend = fn(
-            jnp.asarray(posts), jnp.asarray(starts, jnp.int32),
-            jnp.asarray(nblks, jnp.int32), jnp.asarray(tlo),
-            jnp.asarray(thi))
+        posts, starts, nblks, tlo, thi, active = self.prep(
+            posts, starts, nblks)
+        B = posts.shape[0]
+        unb = B == 1 and self.mesh is None
+        sq = (lambda a: a[0]) if unb else (lambda a: a)
+        if self.mesh is not None:
+            bsh = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("data"))
+            put = partial(jax.device_put, device=bsh)
+        else:
+            put = jnp.asarray
+        sc, words, okend = self.decode_device(
+            put(sq(posts)), put(sq(starts)), put(sq(nblks)), put(sq(tlo)),
+            put(sq(thi)), put(sq(active)), unbatched=unb)
         sc = np.asarray(sc)
         msgs = np.asarray(words).view(np.uint32)
-        valid = (sc > -np.inf) & np.asarray(okend)
+        okend = np.asarray(okend)
+        if unb:
+            sc, msgs, okend = sc[None], msgs[None], okend[None]
+        valid = (sc > -np.inf) & okend
         return msgs, sc, valid

