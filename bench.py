@@ -80,6 +80,43 @@ def measure_cpp(binary: str, posts, cfg, list_size: int, dev: int,
     return float(np.mean(times))
 
 
+# TPU v5e VPU peak: (8, 128) vector lanes x 4 independent ALUs x ~940 MHz
+# clock ~= 3.85e12 f32 element-ops/s per core (jax-ml scaling-book hardware
+# model). The decode has no matmuls, so this — not MFU — is the roofline.
+VPU_PEAK_OPS = 8 * 128 * 4 * 0.94e9
+
+
+def estimate_kernel_ops(spec, consts, nblk: int) -> float:
+    """Analytic VPU element-op count for one read through the ACS kernel
+    (ops/lva_pallas.py): butterfly expansions + base compaction + hash
+    updates + the suppression merge, summed over the beam window and all
+    conv tiles per block. Counts one op per element per arithmetic/select
+    pass; used for the absolute utilization estimate in --profile."""
+    L = spec.list_size
+    C = spec.code.nstate_conv
+    CT = consts.ct
+    n_ct = C // CT
+    W = spec.window
+    NCRF = 8
+    plane = NCRF * L * CT  # one [8, L, CT] plane
+    # average candidate count over trellis positions (pattern 0 -> 2, else 4)
+    pats = consts.pattern[1:]
+    ncs = float(np.where(pats == 0, 2, 4).mean())
+    nst = float(np.where(pats == 0, consts.nstages[0],
+                         consts.nstages[1]).mean())
+    butterfly = 2 * nst * 3 * ncs * plane  # roll + select per stage/plane
+    compact = 3 * ncs * 4 * plane  # per-base accumulate selects
+    hashes = 4 * 2 * 11 * plane  # 4 betas x 2 hashes x (shl+add+3x(2cmp+sub))
+    merge = 0.0
+    for nq, F in ((8, 4), (2, 4)):  # flips, flops
+        cand = nq * L * F * CT
+        outp = L * F * CT
+        merge += L * (13 * cand + 5 * outp)  # L rounds: max/argmax/ohot/
+        #                                      dedup-knockout + slot puts
+    cell = butterfly + compact + hashes + merge
+    return float(nblk) * W * n_ct * cell
+
+
 def profile_breakdown(dec, packed, nblks, outdir="/tmp/nds_bench_trace"):
     """Capture a device trace of one decode and return {op: seconds} plus
     the kernel (pallas closed_call) share of device time — the utilization
@@ -106,12 +143,22 @@ def profile_breakdown(dec, packed, nblks, outdir="/tmp/nds_bench_trace"):
             dur[e["name"]] += e.get("dur", 0)
     total = max((d for n, d in dur.items() if n.startswith("jit")),
                 default=0)
+    # the chunked decode runs many jit programs per read; device time is
+    # their sum, not the max single program
+    total = max(total,
+                sum(d for n, d in dur.items() if n.startswith("jit")))
     kern = sum(d for n, d in dur.items() if "closed_call" in n)
     top = {n: round(d / 1e6, 3) for n, d in dur.most_common(8)}
-    return {"device_total_s": round(total / 1e6, 3),
-            "kernel_s": round(kern / 1e6, 3),
-            "kernel_share": round(kern / total, 3) if total else None,
-            "top_ops": top}
+    out = {"device_total_s": round(total / 1e6, 3),
+           "kernel_s": round(kern / 1e6, 3),
+           "kernel_share": round(kern / total, 3) if total else None,
+           "top_ops": top}
+    if getattr(dec, "_pallas", None) is not None and kern:
+        ops = sum(estimate_kernel_ops(dec.spec, dec._pallas.consts, int(n))
+                  for n in np.asarray(nblks))
+        out["vpu_ops_est"] = round(ops / 1e12, 3)
+        out["vpu_util_est"] = round(ops / (kern / 1e6) / VPU_PEAK_OPS, 3)
+    return out
 
 
 def verify_lists(dec, packed, nblks, posts, cfg, list_size, dev,
@@ -154,8 +201,12 @@ def wait_for_worker(max_wait_s: float = 180.0) -> bool:
              "print(float(jax.jit(lambda x: (x @ x).sum())"
              "(jnp.ones((128, 128)))))")
     while time.time() < deadline:
-        r = subprocess.run([sys.executable, "-c", probe],
-                           capture_output=True, timeout=120)
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=120)
+        except subprocess.TimeoutExpired:
+            # a wedged worker can HANG the probe rather than error it
+            continue
         if r.returncode == 0:
             return True
         time.sleep(10)

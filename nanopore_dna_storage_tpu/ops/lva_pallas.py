@@ -848,22 +848,28 @@ class PallasDecoder:
             nbrev=jnp.asarray(c.nbrev), cstar=jnp.asarray(c.cstar))
         self._fns = {}
 
-    # -- per-batch-size jitted chunk programs (cached) ---------------------
-    def _get_fns(self, B: int | None):
+    # -- per-(batch-size, chunk) jitted chunk programs (cached) ------------
+    def _get_fns(self, B: int | None, K: int):
         """B=None: unbatched programs; B>=1: vmapped (+ shard_mapped when a
         mesh is set) programs over a leading batch axis."""
-        if B in self._fns:
-            return self._fns[B]
+        if (B, K) in self._fns:
+            return self._fns[(B, K)]
         spec, c = self.spec, self.consts
         L = spec.list_size
 
-        def fwd(carry, post, starts, active):
+        def fwd(carry, post, starts, active, i):
+            # chunk slicing happens INSIDE jit: eager slicing of global
+            # (multi-host) arrays is not allowed, and this also avoids a
+            # dispatched slice program per chunk
+            sl = partial(jax.lax.dynamic_slice_in_dim, start_index=i,
+                         slice_size=K, axis=0)
             return _forward_chunk(spec, c, self._cdev, self.interpret,
-                                  carry, post, starts, active)
+                                  carry, sl(post), sl(starts), sl(active))
 
         def tb(tlo, thi, st, t0, s0, s1, starts):
+            starts_c = jax.lax.dynamic_slice_in_dim(starts, t0, K, axis=0)
             return _tb_chunk(spec, c, self._tbdev, tlo, thi, st, t0, s0,
-                             s1, starts)
+                             s1, starts_c)
 
         def init():
             b = _init_buffers(spec, c)
@@ -885,7 +891,7 @@ class PallasDecoder:
                     else self.mesh.devices.size)
             assert B % ndev == 0, "batch must divide over the mesh"
             # inside shard_map the program sees the LOCAL batch shard
-            fwd = jax.vmap(fwd)
+            fwd = jax.vmap(fwd, in_axes=(0, 0, 0, 0, None))
             tb = jax.vmap(tb, in_axes=(0, 0, 0, None, 0, 0, 0))
             init = jax.vmap(init, axis_size=B // ndev)
             tbinit = jax.vmap(tbinit)
@@ -905,7 +911,7 @@ class PallasDecoder:
 
                 stspec = dict(pos=d, conv=d, f=d, slot=d, tw=d, words=d,
                               bitcnt=d, alive=d, okend=d)
-                fwd = smap(fwd, (cspec, d, d, d), (cspec, d, d))
+                fwd = smap(fwd, (cspec, d, d, d, r), (cspec, d, d))
                 tb = smap(tb, (d, d, stspec, r, d, d, d), stspec)
                 init = smap(init, (), cspec)
                 tbinit = smap(tbinit, (d, d, d), stspec)
@@ -919,7 +925,7 @@ class PallasDecoder:
             fin=jax.jit(fin),
             order=jax.jit(order),
         )
-        self._fns[B] = fns
+        self._fns[(B, K)] = fns
         return fns
 
     def prep(self, posts, starts, nblks):
@@ -955,18 +961,13 @@ class PallasDecoder:
         [B?,L,Mw], okend [B?,L])."""
         T = posts.shape[-3]
         K = min(self.chunk_blocks, T)
-        fns = self._get_fns(None if unbatched else posts.shape[0])
-        tdim = posts.ndim - 3  # the block axis
-
-        def tslice(a, i, k=K):
-            return jax.lax.slice_in_dim(a, i, i + k, axis=tdim)
+        fns = self._get_fns(None if unbatched else posts.shape[0], K)
 
         carry = fns["init"]()
         chunks = []
         for i in range(0, T, K):
-            carry, s0, s1 = fns["fwd"](
-                carry, tslice(posts, i), tslice(starts, i),
-                tslice(active, i))
+            carry, s0, s1 = fns["fwd"](carry, posts, starts, active,
+                                       jnp.int32(i))
             chunks.append((s0, s1))
         fin_sc = fns["fin"](carry, jnp.int32(T), nblks)
         del carry
@@ -975,8 +976,7 @@ class PallasDecoder:
         for i in reversed(range(len(chunks))):
             s0, s1 = chunks[i]
             chunks[i] = None  # free the slice once consumed (donated)
-            st = fns["tb"](tlo, thi, st, jnp.int32(i * K), s0, s1,
-                           tslice(starts, i * K))
+            st = fns["tb"](tlo, thi, st, jnp.int32(i * K), s0, s1, starts)
         return fns["order"](fin_sc, st["words"], st["okend"])
 
     def decode(self, posts, starts, nblks):

@@ -61,8 +61,15 @@ def main():
     ap.add_argument("--rc", action="store_true")
     ap.add_argument("--ct", type=int, default=None)
     ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--golden", default=None,
+                    help="validate against a reference-binary golden case "
+                         "instead of a CPU-XLA child: a path relative to "
+                         "tests/golden, e.g. decode14/m14_r5_rc0_l4_prod")
     ap.add_argument("--child-cpu", help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.golden:
+        return run_golden(args)
 
     rng = np.random.default_rng(args.seed)
     msgs, packed, nblks = build_case(args, rng)
@@ -100,6 +107,39 @@ def main():
     print(json.dumps({"valid_eq": ok_valid, "scores_close": ok_sc,
                       "msgs_eq": ok_m, "top_correct": top_ok}))
     if not (ok_valid and ok_sc and ok_m):
+        sys.exit(1)
+
+
+def run_golden(args):
+    """Decode a golden .post with the pallas backend on the REAL TPU and
+    require bit-for-bit the reference binary's decoded lists (the golden
+    oracle is the C++ itself, no CPU-XLA middleman)."""
+    import json as _json
+    import pathlib
+
+    gdir = pathlib.Path(REPO) / "tests" / "golden"
+    sub, name = args.golden.split("/", 1)
+    with open(gdir / sub / "manifest.json") as f:
+        case = next(c for c in _json.load(f) if c["name"] == name)
+    post = np.fromfile(gdir / sub / f"{name}.post",
+                       dtype="<f4").reshape(-1, 5, 8)
+    want = (gdir / sub / f"{name}.lists").read_text().split()
+
+    from nanopore_dna_storage_tpu.config import ConvCodeConfig, DecodeConfig
+    from nanopore_dna_storage_tpu.ops.lva import LVADecoder
+    import jax
+    print("devices:", jax.devices(), flush=True)
+    dec = LVADecoder(DecodeConfig(
+        code=ConvCodeConfig(mem=case["mem"], rate=case["rate"],
+                            msg_len=case["msg_len"], rc=case["rc"]),
+        list_size=case["list_size"], max_deviation=case["max_deviation"],
+        backend="pallas", pallas_ct=args.ct))
+    m, sc, valid = dec.decode(post[None])
+    got = ["".join(map(str, mm)) for mm, vv in zip(m[0], valid[0]) if vv]
+    ok = got == want
+    print(json.dumps({"golden": args.golden, "lists_eq": ok,
+                      "n_lists": len(got)}))
+    if not ok:
         sys.exit(1)
 
 

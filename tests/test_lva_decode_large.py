@@ -25,3 +25,29 @@ def test_l64_golden_parity(golden_dir):
     case = next(c for c in _cases(golden_dir) if c["list_size"] == 64)
     got, _, want = _run_case(golden_dir, case, merge_rounds=None)
     assert got == want
+
+
+@pytest.mark.parametrize("idx", range(2))
+def test_m14_production_golden_parity(golden_dir, idx):
+    """Production-shaped m=14: r=5/6, L=4, msg_len=181 (the pad bit),
+    fwd+RC, C=16384 — reference-binary lists, bit-for-bit
+    (tests/golden/decode14, scripts/make_goldens.py)."""
+    with open(golden_dir / "decode14" / "manifest.json") as f:
+        cases = json.load(f)
+    case = cases[idx]
+    import numpy as np
+    from nanopore_dna_storage_tpu.config import ConvCodeConfig, DecodeConfig
+    from nanopore_dna_storage_tpu.ops.lva import LVADecoder
+    cfg = DecodeConfig(
+        code=ConvCodeConfig(mem=case["mem"], rate=case["rate"],
+                            msg_len=case["msg_len"], rc=case["rc"]),
+        list_size=case["list_size"],
+        max_deviation=case["max_deviation"])
+    dec = LVADecoder(cfg)
+    raw = np.fromfile(golden_dir / "decode14" / f"{case['name']}.post",
+                      dtype="<f4").reshape(-1, 5, 8)
+    msgs, scores, valid = dec.decode(raw[None])
+    got = ["".join(map(str, m)) for m, v in zip(msgs[0], valid[0]) if v]
+    want = (golden_dir / "decode14" / f"{case['name']}.lists"
+            ).read_text().split()
+    assert got == want, f"decode mismatch for {case['name']}"

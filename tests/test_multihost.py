@@ -29,7 +29,8 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_multihost_decode_job(tmp_path):
+@pytest.mark.parametrize("backend", ["xla", "pallas_interpret"])
+def test_multihost_decode_job(tmp_path, backend):
     from nanopore_dna_storage_tpu.config import ConvCodeConfig
     from nanopore_dna_storage_tpu.coding.conv import (conv_encode_bases,
                                                       make_conv_code)
@@ -71,7 +72,7 @@ def test_multihost_decode_job(tmp_path):
              "--experiment", "-1", "--list-size", "2",
              "--max-deviation", "16", "--local-batch", "2",
              "--bytes-per-oligo", str(exp.bytes_per_oligo),
-             "--mem", "6", "--rate", "1"],
+             "--mem", "6", "--rate", "1", "--backend", backend],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
     outs = []
