@@ -233,6 +233,10 @@ def main():
     ap.add_argument("--profile", action="store_true",
                     help="also capture a device trace and report the "
                          "kernel share of device time")
+    ap.add_argument("--sharded", action="store_true",
+                    help="decode through ShardedDecoder on a 1-chip mesh "
+                         "(the scale-out path) instead of the bare "
+                         "LVADecoder; m11/m14/m8 configs only")
     ap.add_argument("--verify", action="store_true",
                     help="decode the first read(s) with the reference "
                          "binary on the same posts and require identical "
@@ -289,14 +293,42 @@ def main():
         n_reads = args.reads or 4
         metric = "reads_per_s_m11_r5l6_l8"
 
+    metric_base = metric
+    if args.sharded:
+        metric += "_sharded"
     posts, _ = gen_posts(cfg, n_reads, seed=42)
     packed, nblks = pack_posts(posts)
 
+    def make_decoder():
+        if not args.sharded:
+            return LVADecoder(DecodeConfig(code=cfg, list_size=list_size,
+                                           max_deviation=dev,
+                                           backend=args.backend,
+                                           merge_rounds=args.merge_rounds))
+        # the scale-out path: same chunk programs under shard_map over a
+        # (here 1-chip) data mesh + device-side CRC/index classify
+        from nanopore_dna_storage_tpu.parallel.mesh import (
+            ShardedDecoder, data_mesh)
+        from nanopore_dna_storage_tpu.pipeline.experiments import experiment
+        exp_id = {"m11": 7, "m14": 8, "m8": 0}.get(args.config)
+        if exp_id is None:
+            raise SystemExit("--sharded supports configs m11/m14/m8 only")
+        exp = experiment(exp_id)
+        assert exp.msg_len() == cfg.msg_len
+        sd = ShardedDecoder(exp, list_size=list_size, rc=False,
+                            max_deviation=dev, mesh=data_mesh(),
+                            backend=args.backend)
+        num_oligos = 1 << exp.framing.index_len
+
+        class _Shim:
+            def decode(self, posts, nblks):
+                res = sd.decode(posts, nblks, num_oligos)
+                return res.msgs, res.scores, res.scores > -np.inf
+
+        return _Shim()
+
     def run_with_batch(b):
-        dec = LVADecoder(DecodeConfig(code=cfg, list_size=list_size,
-                                      max_deviation=dev,
-                                      backend=args.backend,
-                                      merge_rounds=args.merge_rounds))
+        dec = make_decoder()
         dec.decode(packed[:b], nblks[:b])  # warmup/compile
         t0 = time.perf_counter()
         done = 0
@@ -343,6 +375,8 @@ def main():
                 cmd.append("--profile")
             if args.verify:
                 cmd.append("--verify")
+            if args.sharded:
+                cmd.append("--sharded")
             if args.merge_rounds is not None:
                 cmd += ["--merge-rounds", str(args.merge_rounds)]
             try:
@@ -373,7 +407,7 @@ def main():
                           "unit": "reads/s", "vs_baseline": None}))
         return
 
-    key = f"{metric}_cpp"
+    key = f"{metric_base}_cpp"
     baseline = {}
     if BASELINE_CACHE.exists():
         baseline = json.loads(BASELINE_CACHE.read_text())

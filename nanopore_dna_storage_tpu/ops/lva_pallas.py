@@ -891,12 +891,29 @@ class PallasDecoder:
                     else self.mesh.devices.size)
             assert B % ndev == 0, "batch must divide over the mesh"
             # inside shard_map the program sees the LOCAL batch shard
-            fwd = jax.vmap(fwd, in_axes=(0, 0, 0, 0, None))
-            tb = jax.vmap(tb, in_axes=(0, 0, 0, None, 0, 0, 0))
-            init = jax.vmap(init, axis_size=B // ndev)
-            tbinit = jax.vmap(tbinit)
-            fin = jax.vmap(fin, in_axes=(0, None, 0))
-            order = jax.vmap(order)
+            if B // ndev == 1:
+                # one read per device (the production scale-out point):
+                # vmap over the kernel breaks carry-buffer aliasing and
+                # copies every buffer around every kernel call; squeeze
+                # the unit batch axis ONCE per chunk program instead
+                addb = partial(jax.tree.map, lambda x: x[None])
+                dropb = partial(jax.tree.map, lambda x: x[0])
+                fwd_u, tb_u, init_u = fwd, tb, init
+                fwd = lambda c, p, s, a, i: addb(  # noqa: E731
+                    fwd_u(dropb(c), p[0], s[0], a[0], i))
+                tb = lambda lo, hi, st, t0, s0, s1, s: addb(  # noqa: E731
+                    tb_u(lo[0], hi[0], dropb(st), t0, s0[0], s1[0], s[0]))
+                init = lambda: addb(init_u())  # noqa: E731
+                tbinit = jax.vmap(tbinit)
+                fin = jax.vmap(fin, in_axes=(0, None, 0))
+                order = jax.vmap(order)
+            else:
+                fwd = jax.vmap(fwd, in_axes=(0, 0, 0, 0, None))
+                tb = jax.vmap(tb, in_axes=(0, 0, 0, None, 0, 0, 0))
+                init = jax.vmap(init, axis_size=B // ndev)
+                tbinit = jax.vmap(tbinit)
+                fin = jax.vmap(fin, in_axes=(0, None, 0))
+                order = jax.vmap(order)
             if self.mesh is not None:
                 from jax.experimental.shard_map import shard_map
                 P = jax.sharding.PartitionSpec

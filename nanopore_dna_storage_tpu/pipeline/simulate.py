@@ -112,7 +112,8 @@ def simulate_and_decode_signal(enc: EncodeResult, exp: ExperimentConfig,
                                train_steps: int = 300, kmer: int = 1,
                                model_cfg=None, params=None,
                                learning_rate: float = 1e-2,
-                               batch: int = 16):
+                               batch: int = 16, train_seq_len: int = 40,
+                               **decode_kw):
     """End-to-end SIGNAL-fidelity Monte-Carlo decode accuracy.
 
     Trains a basecaller from scratch on the hermetic pore model (unless
@@ -138,14 +139,15 @@ def simulate_and_decode_signal(enc: EncodeResult, exp: ExperimentConfig,
             orig(seq, rng, deepsim_dwell=deepsim_dwell, kmer=kmer))
         try:
             state, _ = trainmod.train_on_synthetic(
-                model_cfg, steps=train_steps, batch=8, seq_len=40,
-                seed=seed, learning_rate=learning_rate)
+                model_cfg, steps=train_steps, batch=8,
+                seq_len=train_seq_len, seed=seed,
+                learning_rate=learning_rate)
         finally:
             trainmod.simulate_raw_signal = orig
         params = state.params
 
     rng = np.random.default_rng(seed + 1)
-    dec = PipelineDecoder(exp, list_size, max_deviation)
+    dec = PipelineDecoder(exp, list_size, max_deviation, **decode_kw)
     num_oligos = enc.num_oligos_data + enc.num_oligos_rs
     oligo_msgs = {}  # oligo id -> true message bits
     stats = SimStats()

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Signal-fidelity accuracy at a PRODUCTION config (VERDICT r2 #8).
+
+Trains the kmer=6 hermetic-pore basecaller from scratch, then runs the
+full signal loop (msg -> conv encode -> squiggle -> basecaller -> fwd-bwd
+-> list-Viterbi -> CRC/index) at m=11 r=5/6 L=8 max-dev 20 — the
+reference's evaluated regime (supplementary Table 3) — and writes a
+Table-3-style correct/erasure/error breakdown to docs/SIGNAL_FIDELITY.json.
+
+Absolute numbers are NOT comparable to the published table (the hermetic
+hash pore model replaces scrappie's trained levels, declared in
+signal/squiggle.py); the point is a recorded end-to-end accuracy at
+production scale through the real signal stack.
+
+Usage: python scripts/signal_fidelity_report.py [--reads 48]
+       [--train-steps 1500] [--backend pallas|xla] [--experiment 7]
+"""
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=48)
+    ap.add_argument("--train-steps", type=int, default=1500)
+    ap.add_argument("--list-size", type=int, default=8)
+    ap.add_argument("--backend", default="pallas",
+                    choices=["xla", "pallas", "pallas_interpret"])
+    ap.add_argument("--experiment", type=int, default=7,
+                    help="published experiment id (7 = m=11 r=5/6)")
+    ap.add_argument("--kmer", type=int, default=6)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from nanopore_dna_storage_tpu.models import flipflop as ff
+    from nanopore_dna_storage_tpu.pipeline.encode import encode_bytes
+    from nanopore_dna_storage_tpu.pipeline.experiments import experiment
+    from nanopore_dna_storage_tpu.pipeline.simulate import (
+        simulate_and_decode_signal)
+
+    exp = experiment(args.experiment)
+    rng = np.random.default_rng(args.seed)
+    # enough data for a handful of distinct oligos (file recovery is
+    # covered elsewhere; this measures per-read decode accuracy)
+    data = rng.integers(0, 256, exp.bytes_per_oligo * 6, np.uint8).tobytes()
+    enc = encode_bytes(data, exp)
+
+    # kmer=6 pore model needs more capacity than the kmer=1 smoke config
+    model_cfg = ff.FlipflopConfig(winlen=11, stride=2, conv_filters=32,
+                                  hidden=64, layer_dirs=("b", "f", "b"))
+    t0 = time.perf_counter()
+    stats, _ = simulate_and_decode_signal(
+        enc, exp, num_reads=args.reads, list_size=args.list_size,
+        seed=args.seed, max_deviation=20, train_steps=args.train_steps,
+        kmer=args.kmer, model_cfg=model_cfg, train_seq_len=60,
+        backend=args.backend)
+    dt = time.perf_counter() - t0
+
+    n = stats.num_reads
+    correct = stats.list_correct
+    erasure = n - stats.crc_pass  # no CRC-passing candidate in the list
+    error = stats.crc_pass - correct  # CRC passed but wrong index/payload
+    out = {
+        "config": f"m={exp.conv_mem} r index {exp.conv_rate} "
+                  f"L={args.list_size} max_dev=20 kmer={args.kmer}",
+        "experiment": args.experiment,
+        "backend": args.backend,
+        "train_steps": args.train_steps,
+        "num_reads": n,
+        "num_correct": correct,
+        "num_erasure_CRC": erasure,
+        "num_error_CRC": error,
+        "pct_correct": round(100.0 * correct / n, 2),
+        "top_correct": stats.top_correct,
+        "unique_indices": stats.unique_indices,
+        "wall_s": round(dt, 1),
+        "note": "hermetic hash pore model, not scrappie levels — absolute "
+                "accuracy is not comparable to supplementary Table 3",
+    }
+    dest = REPO / "docs" / "SIGNAL_FIDELITY.json"
+    dest.write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,12 +20,7 @@ def _cases(golden_dir):
         return json.load(f)
 
 
-@pytest.mark.parametrize("idx", range(7))
-def test_sync_golden_parity(golden_dir, idx):
-    cases = _cases(golden_dir)
-    if idx >= len(cases):
-        pytest.skip("no such case")
-    case = cases[idx]
+def _run_sync_case(golden_dir, case):
     cfg = DecodeConfig(
         code=ConvCodeConfig(mem=case["mem"], rate=case["rate"],
                             msg_len=case["msg_len"], rc=case["rc"],
@@ -42,3 +37,26 @@ def test_sync_golden_parity(golden_dir, idx):
     want = (golden_dir / "sync" / f"{case['name']}.lists").read_text().split()
     assert got == want, f"sync decode mismatch for {case['name']}"
     assert got[0] == case["true_msg"]
+
+
+@pytest.mark.parametrize("idx", range(7))
+def test_sync_golden_parity(golden_dir, idx):
+    cases = _cases(golden_dir)
+    if idx >= len(cases):
+        pytest.skip("no such case")
+    case = cases[idx]
+    if case["mem"] >= 8:
+        pytest.skip("m>=8 sync cases run in the slow suite (1-2 min each)")
+    _run_sync_case(golden_dir, case)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("idx", range(7))
+def test_sync_golden_parity_large(golden_dir, idx):
+    cases = _cases(golden_dir)
+    if idx >= len(cases):
+        pytest.skip("no such case")
+    case = cases[idx]
+    if case["mem"] < 8:
+        pytest.skip("covered by the fast suite")
+    _run_sync_case(golden_dir, case)
