@@ -237,13 +237,19 @@ def main():
                     help="decode through ShardedDecoder on a 1-chip mesh "
                          "(the scale-out path) instead of the bare "
                          "LVADecoder; m11/m14/m8 configs only")
-    ap.add_argument("--verify", action="store_true",
+    ap.add_argument("--verify", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="decode the first read(s) with the reference "
                          "binary on the same posts and require identical "
-                         "lists (adds lists_match to the JSON)")
+                         "lists (adds lists_match to the JSON). Default: "
+                         "on for the m11 config (the reference m=14 "
+                         "decode costs ~25 min of CPU, opt in with "
+                         "--verify)")
     ap.add_argument("--child", action="store_true",
                     help="internal: single-batch attempt, no fallback")
     args = ap.parse_args()
+    if args.verify is None:
+        args.verify = args.config == "m11" and not args.smoke
 
     from nanopore_dna_storage_tpu.config import ConvCodeConfig, DecodeConfig
     from nanopore_dna_storage_tpu.ops.lva import LVADecoder
@@ -373,8 +379,7 @@ def main():
                 cmd.append("--smoke")
             if args.profile:
                 cmd.append("--profile")
-            if args.verify:
-                cmd.append("--verify")
+            cmd.append("--verify" if args.verify else "--no-verify")
             if args.sharded:
                 cmd.append("--sharded")
             if args.merge_rounds is not None:
