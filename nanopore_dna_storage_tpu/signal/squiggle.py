@@ -33,10 +33,17 @@ _ALPHA_SCALE = 50.873948369526737
 
 @lru_cache(maxsize=1)
 def pore_model() -> Tuple[np.ndarray, np.ndarray]:
-    """(mean, stdv) per 6-mer, deterministic.
+    """(mean, stdv) per 6-mer, deterministic and hermetic.
 
-    A splitmix-style integer hash spreads the 4096 k-mers over plausible
-    normalized current levels (mean ~ N(0,1)-ish range, stdv 0.05..0.25).
+    Levels are ADDITIVE over the k-mer with decaying positional weights
+    plus a per-k-mer hash residual: real pore currents are dominated by
+    the bases nearest the constriction with genuine higher-order context
+    effects on top. The additive backbone keeps the inverse problem
+    learnable by the from-scratch basecaller (a pure iid hash table makes
+    basecalling a 4096-entry memorization task no small model solves),
+    while the residual preserves full 6-mer specificity. These are NOT
+    scrappie's trained levels (helper.py:127; not redistributable) —
+    declared non-comparable to supplementary Table 3.
     """
     idx = np.arange(4 ** KMER, dtype=np.uint64)
     z = (idx + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
@@ -45,9 +52,16 @@ def pore_model() -> Tuple[np.ndarray, np.ndarray]:
     z ^= z >> np.uint64(31)
     u1 = (z & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
     u2 = (z >> np.uint64(32)).astype(np.float64) / 2**32
-    mean = 2.4 * (u1 - 0.5) * 2.0  # in [-2.4, 2.4]
-    stdv = 0.05 + 0.20 * u2
-    return mean.astype(np.float32), stdv.astype(np.float32)
+    resid = (0.5 * (2.0 * u1 - 1.0)).astype(np.float32)  # [-0.5, 0.5]
+    stdv = (0.05 + 0.20 * u2).astype(np.float32)
+    return resid, stdv
+
+
+# per-base current contribution and context weights for the additive
+# backbone, centered on the emitting base (offset 0)
+_CONTRIB = np.array([-1.2, -0.4, 0.4, 1.2], dtype=np.float64)
+_CTX_W = {-3: 0.08, -2: 0.15, -1: 0.35, 0: 1.00, 1: 0.45, 2: 0.18,
+          3: 0.08}
 
 
 def deepsim_dwells(n: int, rng: np.random.Generator,
@@ -75,18 +89,23 @@ def sequence_to_squiggle(bases: np.ndarray, kmer: int = KMER) -> np.ndarray:
     """
     bases = np.asarray(bases, dtype=np.int64)
     n = len(bases)
-    mean, stdv = pore_model()
+    resid, stdv = pore_model()
     # centered k-mer context with edge clamping
     pad = np.concatenate([np.repeat(bases[:1], kmer // 2), bases,
                           np.repeat(bases[-1:], kmer - 1 - kmer // 2)])
     idx = np.zeros(n, dtype=np.int64)
     for k in range(kmer):
         idx = idx * 4 + pad[k: k + n]
-    # spread short contexts over the full table so levels stay distinct
+    # spread short contexts over the full table so residuals stay distinct
     idx *= (4 ** KMER) // (4 ** kmer)
+    # additive backbone centered on the emitting base (see pore_model)
+    center = kmer // 2
+    m0 = np.zeros(n, dtype=np.float64)
+    for k in range(kmer):
+        m0 += _CTX_W.get(k - center, 0.0) * _CONTRIB[pad[k: k + n]]
     out = np.empty((n, 3), dtype=np.float32)
     out[:, 0] = 9.0  # nominal dwell, replaced by deepsim sampling
-    out[:, 1] = mean[idx]
+    out[:, 1] = 0.8 * m0 + resid[idx]
     out[:, 2] = stdv[idx]
     return out
 

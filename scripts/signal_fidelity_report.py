@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--experiment", type=int, default=7,
                     help="published experiment id (7 = m=11 r=5/6)")
     ap.add_argument("--kmer", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=2,
+                    help="decode batch; m=11 selections cap one v5e chip "
+                         "at ~2-4 reads per batch (docs/DESIGN.md §6)")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -67,7 +70,7 @@ def main():
         enc, exp, num_reads=args.reads, list_size=args.list_size,
         seed=args.seed, max_deviation=20, train_steps=args.train_steps,
         kmer=args.kmer, model_cfg=model_cfg, train_seq_len=60,
-        backend=args.backend)
+        batch=args.batch, backend=args.backend)
     dt = time.perf_counter() - t0
 
     n = stats.num_reads
