@@ -74,6 +74,12 @@ G_LISTS = [tuple(int(g) for g in range(NCRF) if CRF_MASK[f, g])
 NQ_F = [1 + len(gl) for gl in G_LISTS]
 NQ_MAX = max(NQ_F)
 
+# Largest candidate count a single suppression-merge pass may see: Mosaic
+# compile time explodes beyond ~256 (measured: nq*L = 256 at L=32 compiles
+# in minutes, 512 at L=64 never finishes). Larger sets run the exact
+# hierarchical merge (see merge_group in _make_kernel).
+MERGE_NCAND_MAX = 256
+
 
 def sel_format(L: int):
     """(dtype, shift) of the per-slot selection code q*shift + lsrc.
@@ -406,6 +412,64 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
             wm = (valid[pl.ds(pos, 1)][0] != 0) & act  # [CT]
             isp0 = pos == 1
 
+            def _supp_pass(csc0, ch1s, ch2s, csels, iL):
+                """One suppression-merge pass: L rounds popping the global
+                max over the candidate axis, knocking out its whole
+                equal-dual-hash class (see merge_group). ``csels``: int32
+                selection codes per candidate, or None to derive the code
+                arithmetically from the popped index (the single-pass
+                layout q*shift + slot). Returns (osc, oh1, oh2, osel)."""
+                ncand, F, _ = csc0.shape
+                iC = jax.lax.broadcasted_iota(
+                    jnp.int32, (ncand, F, CT), 0)
+
+                def cond(st):
+                    rnd, _, _, _, _, _, alive = st
+                    return (rnd < L) & alive
+
+                def body(st):
+                    (rnd, csc, osc, oh1, oh2, osel, _) = st
+                    best = jnp.max(csc, axis=0)  # [F, CT]
+                    bq = jnp.argmax(csc, axis=0)
+                    ok = best > NEG
+                    ohot = iC == bq[None]
+                    ch1 = jnp.where(ohot, ch1s, 0).sum(0)
+                    ch2 = jnp.where(ohot, ch2s, 0).sum(0)
+                    eqh = (ch1s == ch1[None]) & (ch2s == ch2[None])
+                    if lse:
+                        # combine the whole duplicate class's path mass at
+                        # pop time (extra/viterbi_nanopore.cpp:883-888)
+                        val = best + jnp.log(jnp.sum(
+                            jnp.where(eqh & (csc > NEG),
+                                      jnp.exp(csc - best[None]), 0.0),
+                            axis=0))
+                    else:
+                        val = best
+                    csc = jnp.where(eqh, NEG, csc)
+                    put = (iL == rnd) & ok[None]
+                    osc = jnp.where(put, val[None], osc)
+                    oh1 = jnp.where(put, ch1[None], oh1)
+                    oh2 = jnp.where(put, ch2[None], oh2)
+                    if csels is None:
+                        code = (bq // L) * sel_format(L)[1] + (bq % L)
+                    else:
+                        code = jnp.where(ohot, csels, 0).sum(0)
+                    osel = jnp.where(put, code[None], osel)
+                    return (rnd + 1, csc, osc, oh1, oh2, osel,
+                            jnp.any(ok))
+
+                st0 = (
+                    jnp.int32(0),
+                    csc0,
+                    jnp.full((L, F, CT), NEG, jnp.float32),
+                    jnp.zeros((L, F, CT), jnp.int32),
+                    jnp.zeros((L, F, CT), jnp.int32),
+                    jnp.full((L, F, CT), -1, jnp.int32),
+                    jnp.bool_(True),
+                )
+                st = jax.lax.while_loop(cond, body, st0)
+                return st[2], st[3], st[4], st[5]
+
             def merge_group(fs):
                 """One stacked merge over CRF destinations ``fs`` (all with
                 the same list count): state arrays carry an F axis next to
@@ -440,53 +504,50 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                 # the heap would discard at pop time, cpp:744-799). No
                 # pointers, no head refresh.
                 ncand = nq * L
-                csc0 = jnp.stack(rows_sc).reshape(ncand, F, CT)
-                ch1s = jnp.stack(rows_h1).reshape(ncand, F, CT)
-                ch2s = jnp.stack(rows_h2).reshape(ncand, F, CT)
-                iC = jax.lax.broadcasted_iota(jnp.int32, (ncand, F, CT), 0)
-
-                def cond(st):
-                    rnd, _, _, _, _, _, alive = st
-                    return (rnd < L) & alive
-
-                def body(st):
-                    (rnd, csc, osc, oh1, oh2, osel, _) = st
-                    best = jnp.max(csc, axis=0)  # [F, CT]
-                    bq = jnp.argmax(csc, axis=0)
-                    ok = best > NEG
-                    ohot = iC == bq[None]
-                    ch1 = jnp.where(ohot, ch1s, 0).sum(0)
-                    ch2 = jnp.where(ohot, ch2s, 0).sum(0)
-                    eqh = (ch1s == ch1[None]) & (ch2s == ch2[None])
-                    if lse:
-                        # combine the whole duplicate class's path mass at
-                        # pop time (extra/viterbi_nanopore.cpp:883-888)
-                        val = best + jnp.log(jnp.sum(
-                            jnp.where(eqh & (csc > NEG),
-                                      jnp.exp(csc - best[None]), 0.0),
-                            axis=0))
-                    else:
-                        val = best
-                    csc = jnp.where(eqh, NEG, csc)
-                    put = (iL == rnd) & ok[None]
-                    osc = jnp.where(put, val[None], osc)
-                    oh1 = jnp.where(put, ch1[None], oh1)
-                    oh2 = jnp.where(put, ch2[None], oh2)
-                    code = (bq // L) * sel_format(L)[1] + (bq % L)
-                    osel = jnp.where(put, code[None], osel)
-                    return (rnd + 1, csc, osc, oh1, oh2, osel, jnp.any(ok))
-
-                st0 = (
-                    jnp.int32(0),
-                    csc0,
-                    jnp.full((L, F, CT), NEG, jnp.float32),
-                    jnp.zeros((L, F, CT), jnp.int32),
-                    jnp.zeros((L, F, CT), jnp.int32),
-                    jnp.full((L, F, CT), -1, jnp.int32),
-                    jnp.bool_(True),
-                )
-                st = jax.lax.while_loop(cond, body, st0)
-                (_, _, osc, oh1, oh2, osel, _) = st
+                if ncand <= MERGE_NCAND_MAX or lse:
+                    csc0 = jnp.stack(rows_sc).reshape(ncand, F, CT)
+                    ch1s = jnp.stack(rows_h1).reshape(ncand, F, CT)
+                    ch2s = jnp.stack(rows_h2).reshape(ncand, F, CT)
+                    osc, oh1, oh2, osel = _supp_pass(
+                        csc0, ch1s, ch2s, None, iL)
+                else:
+                    # Hierarchical merge for large candidate sets (m=8's
+                    # production L=64 -> 8*64 = 512 candidates): Mosaic's
+                    # compile time explodes above ~256 candidates (L=32's
+                    # 256 compiles, 512 ran >30 min without finishing), so
+                    # split the nq sorted lists into groups, take each
+                    # group's top-L-with-dedup, then combine the survivors
+                    # in one final pass. Exact for max-combining: a class
+                    # outside its group's top-L is beaten by L distinct
+                    # classes within the group, each of which also beats it
+                    # globally — so it cannot be in the global top-L.
+                    # (Not exact for lse mass-combining, which therefore
+                    # keeps the single pass above; lse is the old binary's
+                    # experimental mode and has no L>16 config.)
+                    ng = -(-ncand // MERGE_NCAND_MAX)
+                    per = -(-nq // ng)
+                    sh = sel_format(L)[1]
+                    groups = []
+                    for g in range(ng):
+                        qs = list(range(g * per, min((g + 1) * per, nq)))
+                        csc_g = jnp.stack([rows_sc[q] for q in qs]
+                                          ).reshape(len(qs) * L, F, CT)
+                        ch1_g = jnp.stack([rows_h1[q] for q in qs]
+                                          ).reshape(len(qs) * L, F, CT)
+                        ch2_g = jnp.stack([rows_h2[q] for q in qs]
+                                          ).reshape(len(qs) * L, F, CT)
+                        csel_g = jnp.stack(
+                            [q * sh + jax.lax.broadcasted_iota(
+                                jnp.int32, (L, F, CT), 0) for q in qs]
+                        ).reshape(len(qs) * L, F, CT)
+                        groups.append(_supp_pass(
+                            csc_g, ch1_g, ch2_g, csel_g, iL))
+                    csc_c = jnp.concatenate([o[0] for o in groups])
+                    ch1_c = jnp.concatenate([o[1] for o in groups])
+                    ch2_c = jnp.concatenate([o[2] for o in groups])
+                    csel_c = jnp.concatenate([o[3] for o in groups])
+                    osc, oh1, oh2, osel = _supp_pass(
+                        csc_c, ch1_c, ch2_c, csel_c, iL)
 
                 # position 0 (padded row 1): stay-only, slot 0 scored, all
                 # list slots carried through unchanged (cpp:706-713)

@@ -142,19 +142,30 @@ class MultiHostDecoder:
 def run_decode_job(post_dir: str, outdir: str, exp: ExperimentConfig,
                    list_size: int, max_deviation: int = 20,
                    local_batch: int = 8, backend: str = "xla",
-                   auto_orientation: bool = True) -> int:
+                   auto_orientation="gated") -> int:
     """Decode every ``.post`` in ``post_dir``, sharded over hosts by stride.
 
     Host i takes posts i, i+N, i+2N, ... (the reference's read-id sharding,
     generate_read_id_files.py) and writes its ``list_<idx>`` files plus an
     ``info_<i>.txt`` shard manifest into ``outdir`` — which then looks
     exactly like the merged output of merge_lists.py.
-    Returns the global crc-pass count.
+
+    ``auto_orientation``: "gated" (default) decodes everything forward,
+    then runs a SECOND phase re-decoding only the reads with no
+    CRC-passing candidate in RC — job cost (1 + fail_fraction)x one
+    orientation instead of the 2x of "both" (the reference decodes each
+    read once, orientation pre-picked from the barcode,
+    generate_decoded_lists.py:68-82; the CRC check is the analogous
+    oracle when no basecall exists). "both" decodes every read in both
+    orientations and keeps the higher top score; False decodes forward
+    only. Returns the global crc-pass count.
     """
     import glob
 
     from ..io.lists import write_list_file
     from ..io.post import read_post, pack_posts
+
+    from jax.experimental import multihost_utils
 
     pid = jax.process_index()
     nproc = jax.process_count()
@@ -165,16 +176,17 @@ def run_decode_job(post_dir: str, outdir: str, exp: ExperimentConfig,
     per_host = -(-len(post_files) // nproc)
     os.makedirs(outdir, exist_ok=True)
 
+    gated = auto_orientation == "gated"
     dec = MultiHostDecoder(exp, list_size, rc=False,
                            max_deviation=max_deviation, backend=backend,
-                           auto_orientation=auto_orientation)
+                           auto_orientation=bool(auto_orientation))
     ndev_local = len(jax.local_devices())
     local_batch = max(ndev_local, (local_batch // ndev_local) * ndev_local)
-    total_crc = 0
-    info_lines = []
-    for lo in range(0, per_host, local_batch):
-        batch_files = mine[lo: lo + local_batch]
-        posts = [read_post(f) for f in batch_files]
+    num_oligos = 1 << exp.framing.index_len
+    min_blk = dec.sharded.inner.spec.code.nstate_pos + 1
+
+    def batch_arrays(files, nsteps_pad=None):
+        posts = [read_post(f) for f in files]
         npad = local_batch - len(posts)
         if posts:
             packed, nblks = pack_posts(posts)
@@ -183,28 +195,62 @@ def run_decode_job(post_dir: str, outdir: str, exp: ExperimentConfig,
             nblks = np.zeros((0,), np.int64)
         if npad:
             ghost_T = packed.shape[1] if len(posts) else 128
-            min_blk = dec.sharded.inner.spec.code.nstate_pos + 1
             ghost = np.zeros((npad, ghost_T, 5, 8), np.float32)
             packed = np.concatenate([packed, ghost]) if len(posts) else ghost
             nblks = np.concatenate(
                 [nblks, np.full(npad, max(min_blk, ghost_T), np.int64)])
-        msgs, sc, ok, index, rc_used = dec.decode_local(
-            packed, nblks, 1 << exp.framing.index_len)
-        # count only this host's real (non-ghost) reads; the global total is
-        # reduced once at the end
-        total_crc += int(ok[: len(batch_files)].any(axis=1).sum())
+        return packed, nblks
+
+    results = {}  # file -> [msgs, sc, ok, index, rc_used]
+    total_steps = -(-per_host // local_batch)
+    for lo in range(0, total_steps * local_batch, local_batch):
+        batch_files = mine[lo: lo + local_batch]
+        packed, nblks = batch_arrays(batch_files)
+        if gated:
+            msgs, sc, ok, index = dec._decode_one(dec.sharded, packed,
+                                                  nblks, num_oligos)
+            rc_used = np.zeros(len(packed), bool)
+        else:
+            msgs, sc, ok, index, rc_used = dec.decode_local(
+                packed, nblks, num_oligos)
         for j, f in enumerate(batch_files):
-            stem = os.path.basename(f)[: -len(".post")]
-            idx = int(stem.split("_")[-1]) if stem.split("_")[-1].isdigit() \
-                else lo + j
-            lst = ["".join(map(str, m))
-                   for m, v in zip(msgs[j], sc[j] > -np.inf) if v]
-            write_list_file(outdir, idx, lst[:list_size])
-            info_lines.append(f"{stem} rc={bool(rc_used[j])}")
+            results[f] = [msgs[j], sc[j], ok[j], index[j], rc_used[j]]
+
+    if gated:
+        # phase 2: re-decode ONLY this host's CRC-failed reads in RC; all
+        # hosts run the max step count (ghost batches keep the collective
+        # program uniform)
+        need = [f for f in mine if not results[f][2].any()]
+        nsteps = int(multihost_utils.process_allgather(np.asarray(
+            [-(-len(need) // local_batch)])).max())
+        for step in range(nsteps):
+            batch_files = need[step * local_batch:
+                               (step + 1) * local_batch]
+            packed, nblks = batch_arrays(batch_files)
+            msgs, sc, ok, index = dec._decode_one(
+                dec.sharded_rc, packed, nblks, num_oligos)
+            for j, f in enumerate(batch_files):
+                r = results[f]
+                # RC wins where it CRC-passes, or neither passes and RC's
+                # top path score is higher (tie -> fwd)
+                if ok[j].any() or sc[j, 0] > r[1][0]:
+                    results[f] = [msgs[j], sc[j], ok[j], index[j], True]
+
+    total_crc = 0
+    info_lines = []
+    for lo, f in enumerate(mine):
+        msgs, sc, ok, index, rc_used = results[f]
+        total_crc += int(ok.any())
+        stem = os.path.basename(f)[: -len(".post")]
+        idx = int(stem.split("_")[-1]) if stem.split("_")[-1].isdigit() \
+            else lo
+        lst = ["".join(map(str, m))
+               for m, v in zip(msgs, sc > -np.inf) if v]
+        write_list_file(outdir, idx, lst[:list_size])
+        info_lines.append(f"{stem} rc={bool(rc_used)}")
     # per-host info shard (the reference's info_<i> files, merge_lists.py)
     with open(os.path.join(outdir, f"info_{pid}.txt"), "w") as f:
         f.write("".join(ln + "\n" for ln in info_lines))
-    from jax.experimental import multihost_utils
 
     return int(multihost_utils.process_allgather(
         np.asarray([total_crc])).sum())
@@ -236,9 +282,14 @@ def main(argv=None):
                     choices=["xla", "pallas", "pallas_interpret"],
                     help="pallas = production TPU kernel (sharded via "
                          "shard_map); xla = message-carrying path")
-    ap.add_argument("--no-auto-orientation", action="store_true",
-                    help="decode fwd-only instead of picking the better "
-                         "of fwd/RC per read")
+    ap.add_argument("--orientation", default="gated",
+                    choices=["gated", "both", "fwd"],
+                    help="gated = decode fwd, re-decode CRC failures in RC "
+                         "(default); both = decode every read both ways; "
+                         "fwd = forward only")
+    ap.add_argument("--no-auto-orientation", dest="orientation",
+                    action="store_const", const="fwd",
+                    help="alias for --orientation fwd")
     args = ap.parse_args(argv)
     if os.environ.get("NDS_FORCE_CPU"):
         # the environment's sitecustomize may pin another platform; the env
@@ -255,7 +306,8 @@ def main(argv=None):
     crc = run_decode_job(args.post_dir, args.outdir, exp, args.list_size,
                          args.max_deviation, args.local_batch,
                          backend=args.backend,
-                         auto_orientation=not args.no_auto_orientation)
+                         auto_orientation={"gated": "gated", "both": True,
+                                           "fwd": False}[args.orientation])
     print(f"process {jax.process_index()}/{jax.process_count()} done; "
           f"global crc_pass={crc}")
 

@@ -39,6 +39,36 @@ def test_end_to_end_file_recovery():
     assert recovered == data
 
 
+def test_gated_auto_orientation():
+    """CRC-gated orientation pick (fwd first, RC only for CRC failures)
+    recovers the same per-read index/payload as decoding both orientations,
+    while re-decoding only the fwd-CRC-failure subset (the reference
+    decodes each read once, orientation pre-picked,
+    generate_decoded_lists.py:68-82)."""
+    exp = ExperimentConfig(bytes_per_oligo=4, rs_redundancy=0.5,
+                           conv_mem=6, conv_rate=1)
+    data = bytes(range(16))
+    enc = encode_bytes(data, exp)
+    from nanopore_dna_storage_tpu.pipeline.simulate import simulate_posts
+    rng = np.random.default_rng(1)
+    posts, rcs, ids = simulate_posts(enc.oligos, 10, rng, sub_prob=0,
+                                     del_prob=0, ins_prob=0)
+    assert rcs.any() and (~rcs).any()  # both orientations present
+    dec = PipelineDecoder(exp, list_size=2, max_deviation=16)
+    total = enc.num_oligos_data + enc.num_oligos_rs
+    out_g, rc_g = dec.decode_posts_auto_orientation(posts, total)
+    out_b, rc_b = dec.decode_posts_auto_orientation(posts, total,
+                                                    gated=False)
+    # error-free reads all decode; gated and both-ways agree on the
+    # recovered (index, payload) wherever either passes CRC
+    assert (out_g.index >= 0).all()
+    assert (out_g.index == out_b.index).all()
+    assert (out_g.payload == out_b.payload).all()
+    # the gated path marks exactly the truly-RC reads (fwd CRC fails on
+    # an RC read, passes on a fwd read, for error-free posts)
+    assert (rc_g == rcs).all()
+
+
 def test_error_free_single_batch_decode():
     exp = ExperimentConfig(bytes_per_oligo=4, rs_redundancy=0.5,
                            conv_mem=6, conv_rate=1)

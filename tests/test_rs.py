@@ -10,8 +10,7 @@ from nanopore_dna_storage_tpu.coding.rs import (
 )
 
 
-@pytest.mark.parametrize("fname", ["rs_golden.json", "rs_golden_f37.json"])
-def test_schifra_parity(golden_dir, fname):
+def _run_schifra_golden(golden_dir, fname):
     with open(golden_dir / "rs" / fname) as f:
         g = json.load(f)
     rs = RS16(g["fec"])
@@ -23,6 +22,35 @@ def test_schifra_parity(golden_dir, fname):
         assert ok == case["ok"], case["name"]
         if ok:
             assert fixed[: g["num"]].tolist() == case["decoded"], case["name"]
+
+
+@pytest.mark.parametrize("fname", ["rs_golden.json", "rs_golden_f37.json"])
+def test_schifra_parity(golden_dir, fname):
+    _run_schifra_golden(golden_dir, fname)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fname", ["rs_golden_f169.json",
+                                   "rs_golden_f338.json"])
+def test_schifra_parity_production_fec(golden_dir, fname):
+    """Production-scale codecs: 564 data oligos at fec=169 and 1128 at
+    fec=338 over 65535-symbol shortened codewords (BASELINE.md Table 1) —
+    including max-erasure, max-error, mixed e+2t=fec and beyond-capacity
+    failure cases, all bit-compared against the reference schifra CLI
+    (scripts/make_rs_goldens.py). A full codeword-column decode is timed:
+    the pipeline decodes bytes_per_oligo/2 such columns per file
+    (RSCode_16bit_fileio.py:289-299)."""
+    import time
+    with open(golden_dir / "rs" / fname) as f:
+        g = json.load(f)
+    t0 = time.perf_counter()
+    _run_schifra_golden(golden_dir, fname)
+    dt = time.perf_counter() - t0
+    # 5 decode cases + 1 encode; a full recovery runs ~10 columns. Keep a
+    # sanity bound so a superlinear regression in the fec-scaling paths
+    # (Lagrange parity, Chien scan) cannot land silently.
+    print(f"\n{fname}: encode+5 decodes in {dt:.1f}s")
+    assert dt < 300, f"production-fec codec too slow: {dt:.1f}s"
 
 
 def test_gf_axioms():
