@@ -106,10 +106,20 @@ class TrainState:
     step: int = 0
 
 
-def make_trainer(cfg: ff.FlipflopConfig, learning_rate: float = 1e-3):
+def make_trainer(cfg: ff.FlipflopConfig, learning_rate: float = 1e-3,
+                 total_steps: int = 0, warmup: int = 200):
+    """``total_steps > 0`` enables a linear-warmup + cosine-decay schedule
+    (needed for the larger kmer=6 models; constant Adam at 1e-2 plateaus
+    them), else the rate is constant."""
     import optax
 
-    opt = optax.adam(learning_rate)
+    if total_steps:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, min(warmup, total_steps // 10 + 1),
+            total_steps, learning_rate * 1e-2)
+        opt = optax.adam(sched)
+    else:
+        opt = optax.adam(learning_rate)
 
     @jax.jit
     def train_step(params, opt_state, signal, nsamples, seq_states, seqlens):
@@ -152,11 +162,13 @@ def synthetic_batches(rng: np.random.Generator, batch: int, seq_len: int,
 
 def train_on_synthetic(cfg: ff.FlipflopConfig, steps: int, batch: int = 8,
                        seq_len: int = 40, seed: int = 0,
-                       learning_rate: float = 1e-3):
+                       learning_rate: float = 1e-3,
+                       schedule: bool = False):
     """Train a model against the hermetic pore model. Returns (state, losses)."""
     rng = np.random.default_rng(seed)
     pad_T = seq_len * 12
-    init, train_step = make_trainer(cfg, learning_rate)
+    init, train_step = make_trainer(cfg, learning_rate,
+                                    total_steps=steps if schedule else 0)
     state = init(seed)
     losses = []
     gen = synthetic_batches(rng, batch, seq_len, pad_T, seq_len + 2)

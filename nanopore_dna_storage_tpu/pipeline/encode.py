@@ -28,6 +28,9 @@ class EncodeResult:
     num_oligos_rs: int
     oligo_len: int
     writing_rate: float  # data bits per base (helper.py:272)
+    # per-oligo payload bytes incl. RS parity oligos [num_oligos, bpo] —
+    # the ground truth for per-read accuracy accounting
+    payloads: "np.ndarray" = None
 
 
 def encode_bytes(data: bytes, exp: ExperimentConfig) -> EncodeResult:
@@ -56,6 +59,7 @@ def encode_bytes(data: bytes, exp: ExperimentConfig) -> EncodeResult:
         num_oligos_rs=num_rs,
         oligo_len=oligo_len,
         writing_rate=data_size * 8 / (oligo_len * num_oligos),
+        payloads=with_rs,
     )
 
 

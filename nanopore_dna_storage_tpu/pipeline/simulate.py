@@ -112,6 +112,7 @@ def simulate_and_decode_signal(enc: EncodeResult, exp: ExperimentConfig,
                                train_steps: int = 300, kmer: int = 1,
                                model_cfg=None, params=None,
                                learning_rate: float = 1e-2,
+                               lr_schedule: bool = False,
                                batch: int = 16, train_seq_len: int = 40,
                                **decode_kw):
     """End-to-end SIGNAL-fidelity Monte-Carlo decode accuracy.
@@ -141,7 +142,7 @@ def simulate_and_decode_signal(enc: EncodeResult, exp: ExperimentConfig,
             state, _ = trainmod.train_on_synthetic(
                 model_cfg, steps=train_steps, batch=8,
                 seq_len=train_seq_len, seed=seed,
-                learning_rate=learning_rate)
+                learning_rate=learning_rate, schedule=lr_schedule)
         finally:
             trainmod.simulate_raw_signal = orig
         params = state.params

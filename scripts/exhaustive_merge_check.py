@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Hardware check: default merge rounds ≡ exhaustive at m >= 11
+(VERDICT r3 weak #6: the XLA backend's 2L+2 production default was only
+ever proven equal to the exhaustive (1+32)*L heap bound at m <= 8,
+because exhaustive rounds are impractically slow on the 2-vCPU suite).
+
+On TPU the same check is minutes: decode the same synthetic posts with
+the XLA backend at default rounds, the XLA backend at exhaustive rounds
+(exact reference-heap semantics, cpp:744-799), and the Pallas kernel
+(whose suppression merge is exact by construction) — all three lists must
+be bit-identical. Writes docs/EXHAUSTIVE_CHECK.json.
+
+Usage: python scripts/exhaustive_merge_check.py [--configs m11,m14]
+"""
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+CONFIGS = {
+    "m11": dict(mem=11, rate=5, msg_len=180, list_size=8),
+    "m14": dict(mem=14, rate=5, msg_len=181, list_size=4),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="m11,m14")
+    ap.add_argument("--reads", type=int, default=2)
+    ap.add_argument("--dev", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=23)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=str(REPO / "docs" /
+                                         "EXHAUSTIVE_CHECK.json"))
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from nanopore_dna_storage_tpu.config import (ConvCodeConfig,
+                                                 DecodeConfig)
+    from nanopore_dna_storage_tpu.ops.lva import LVADecoder, NQ
+    from nanopore_dna_storage_tpu.coding.conv import (make_conv_code,
+                                                      conv_encode_bases)
+    from nanopore_dna_storage_tpu.ops.synthetic import synthetic_post
+    from nanopore_dna_storage_tpu.io.post import pack_posts
+
+    results = {}
+    for name in args.configs.split(","):
+        c = CONFIGS[name]
+        L = c["list_size"]
+        rng = np.random.default_rng(args.seed)
+        cfg = ConvCodeConfig(mem=c["mem"], rate=c["rate"],
+                             msg_len=c["msg_len"])
+        code = make_conv_code(cfg)
+        msgs = rng.integers(0, 2, (args.reads, c["msg_len"]), np.uint8)
+        bases = conv_encode_bases(code, msgs)
+        posts = [synthetic_post(b, rng, noise=1.0) for b in bases]
+        packed, nblks = pack_posts(posts)
+
+        lists = {}
+        timing = {}
+        runs = [("xla_default", "xla", None),
+                ("xla_exhaustive", "xla", (1 + NQ - 1) * L),
+                ("pallas", "pallas", None)]
+        for label, backend, rounds in runs:
+            dec = LVADecoder(DecodeConfig(
+                code=cfg, list_size=L, max_deviation=args.dev,
+                backend=backend, merge_rounds=rounds))
+            t0 = time.perf_counter()
+            m, sc, v = dec.decode(packed, nblks)
+            timing[label] = round(time.perf_counter() - t0, 1)
+            lists[label] = [
+                ["".join(map(str, mm)) for mm, vv in zip(m[i], v[i]) if vv]
+                for i in range(args.reads)]
+            print(f"{name}/{label}: {timing[label]}s", flush=True)
+            del dec
+
+        eq_def = lists["xla_default"] == lists["xla_exhaustive"]
+        eq_pal = lists["pallas"] == lists["xla_exhaustive"]
+        results[name] = {
+            "config": c, "reads": args.reads, "max_deviation": args.dev,
+            "exhaustive_rounds": NQ * L,
+            "default_rounds": 2 * L + 2,
+            "default_eq_exhaustive": eq_def,
+            "pallas_eq_exhaustive": eq_pal,
+            "wall_s": timing,
+            "n_lists": [len(x) for x in lists["xla_exhaustive"]],
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+        assert eq_def and eq_pal, f"{name}: merge-round mismatch"
+
+    pathlib.Path(args.out).write_text(json.dumps(results, indent=1) + "\n")
+    print("EXHAUSTIVE CHECK OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

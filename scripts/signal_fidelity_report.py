@@ -32,7 +32,7 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=48)
-    ap.add_argument("--train-steps", type=int, default=1500)
+    ap.add_argument("--train-steps", type=int, default=4000)
     ap.add_argument("--list-size", type=int, default=8)
     ap.add_argument("--backend", default="pallas",
                     choices=["xla", "pallas", "pallas_interpret"])
@@ -62,7 +62,11 @@ def main():
     data = rng.integers(0, 256, exp.bytes_per_oligo * 6, np.uint8).tobytes()
     enc = encode_bytes(data, exp)
 
-    # kmer=6 pore model needs more capacity than the kmer=1 smoke config
+    # kmer=6 pore model needs more capacity than the kmer=1 smoke config.
+    # Constant lr=1e-2 DIVERGES on this config (the round-3 0/48 result:
+    # 99.7% basecall error after 4000 steps); warmup+cosine at 3e-3
+    # converges to ~8.8% — the reference's real-data regime (8.4%,
+    # supplementary §7; scripts/basecall_error_probe.py).
     model_cfg = ff.FlipflopConfig(winlen=11, stride=2, conv_filters=32,
                                   hidden=64, layer_dirs=("b", "f", "b"))
     t0 = time.perf_counter()
@@ -70,6 +74,7 @@ def main():
         enc, exp, num_reads=args.reads, list_size=args.list_size,
         seed=args.seed, max_deviation=20, train_steps=args.train_steps,
         kmer=args.kmer, model_cfg=model_cfg, train_seq_len=60,
+        learning_rate=3e-3, lr_schedule=True,
         batch=args.batch, backend=args.backend)
     dt = time.perf_counter() - t0
 
@@ -91,8 +96,11 @@ def main():
         "top_correct": stats.top_correct,
         "unique_indices": stats.unique_indices,
         "wall_s": round(dt, 1),
-        "note": "hermetic hash pore model, not scrappie levels — absolute "
-                "accuracy is not comparable to supplementary Table 3",
+        "note": "hermetic pore model with residual scale calibrated so the "
+                "from-scratch-trained basecaller reaches the reference's "
+                "published real-data basecall error (~8.4-8.8%, "
+                "supplementary §7; signal/squiggle.py RESID_SCALE) — "
+                "Table-3 decode accuracy is the comparison anchor",
     }
     dest = REPO / "docs" / "SIGNAL_FIDELITY.json"
     dest.write_text(json.dumps(out, indent=1) + "\n")

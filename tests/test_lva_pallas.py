@@ -29,6 +29,26 @@ def test_pallas_interpret_golden(golden_dir, name):
     assert got == _ref_lists(golden_dir, case["name"]), name
 
 
+def test_pallas_interpret_hierarchical_merge(golden_dir):
+    """List sizes with nq*L > MERGE_NCAND_MAX (the Mosaic compile cliff;
+    production m=8 L=64) run the exact hierarchical suppression merge —
+    group top-L passes + a combine pass (ops/lva_pallas.py). m=6 L=34 is
+    the smallest golden shape that exercises it (8*34 = 272 > 256)."""
+    from nanopore_dna_storage_tpu.ops import lva_pallas
+    case = next(c for c in _cases(golden_dir) if c["name"] == "m6_r1_rc0_l34")
+    assert 8 * case["list_size"] > lva_pallas.MERGE_NCAND_MAX
+    cfg = DecodeConfig(
+        code=ConvCodeConfig(mem=case["mem"], rate=case["rate"],
+                            msg_len=case["msg_len"], rc=case["rc"]),
+        list_size=case["list_size"], max_deviation=case["max_deviation"],
+        backend="pallas_interpret")
+    dec = LVADecoder(cfg)
+    post = _load_post(golden_dir, case["name"])
+    msgs, _, valid = dec.decode(post[None])
+    got = ["".join(map(str, m)) for m, v in zip(msgs[0], valid[0]) if v]
+    assert got == _ref_lists(golden_dir, case["name"])
+
+
 def test_pallas_interpret_multitile(golden_dir):
     """Multi-tile conv axis (CT < C): the per-offset block-view expansion
     path used by m=11/14 on hardware, exercised via m=8 with a forced
