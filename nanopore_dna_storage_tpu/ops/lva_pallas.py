@@ -418,17 +418,22 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                 equal-dual-hash class (see merge_group). ``csels``: int32
                 selection codes per candidate, or None to derive the code
                 arithmetically from the popped index (the single-pass
-                layout q*shift + slot). Returns (osc, oh1, oh2, osel)."""
+                layout q*shift + slot). Returns (osc, oh1, oh2, osel).
+
+                For small L the L rounds are UNROLLED: a lax.while_loop
+                costs scalar-core round-trips per iteration that stall the
+                VPU between rounds, and a round whose candidates are
+                exhausted puts nothing (best = NEG -> ok False), so the
+                early-exit check is semantically redundant. Large L keeps
+                the loop: unrolling 64 rounds explodes Mosaic compile
+                time.
+                """
                 ncand, F, _ = csc0.shape
                 iC = jax.lax.broadcasted_iota(
                     jnp.int32, (ncand, F, CT), 0)
 
-                def cond(st):
-                    rnd, _, _, _, _, _, alive = st
-                    return (rnd < L) & alive
-
-                def body(st):
-                    (rnd, csc, osc, oh1, oh2, osel, _) = st
+                def body(st, rnd):
+                    (csc, osc, oh1, oh2, osel) = st
                     best = jnp.max(csc, axis=0)  # [F, CT]
                     bq = jnp.argmax(csc, axis=0)
                     ok = best > NEG
@@ -455,20 +460,31 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                     else:
                         code = jnp.where(ohot, csels, 0).sum(0)
                     osel = jnp.where(put, code[None], osel)
-                    return (rnd + 1, csc, osc, oh1, oh2, osel,
-                            jnp.any(ok))
+                    return (csc, osc, oh1, oh2, osel), jnp.any(ok)
 
-                st0 = (
-                    jnp.int32(0),
+                st = (
                     csc0,
                     jnp.full((L, F, CT), NEG, jnp.float32),
                     jnp.zeros((L, F, CT), jnp.int32),
                     jnp.zeros((L, F, CT), jnp.int32),
                     jnp.full((L, F, CT), -1, jnp.int32),
-                    jnp.bool_(True),
                 )
-                st = jax.lax.while_loop(cond, body, st0)
-                return st[2], st[3], st[4], st[5]
+                if L <= 16:
+                    for rnd in range(L):
+                        st, _ = body(st, rnd)
+                else:
+                    def wcond(c):
+                        rnd, _, alive = c
+                        return (rnd < L) & alive
+
+                    def wbody(c):
+                        rnd, st, _ = c
+                        st, any_ok = body(st, rnd)
+                        return rnd + 1, st, any_ok
+
+                    _, st, _ = jax.lax.while_loop(
+                        wcond, wbody, (jnp.int32(0), st, jnp.bool_(True)))
+                return st[1], st[2], st[3], st[4]
 
             def merge_group(fs):
                 """One stacked merge over CRF destinations ``fs`` (all with
