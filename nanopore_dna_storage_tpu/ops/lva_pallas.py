@@ -74,11 +74,15 @@ G_LISTS = [tuple(int(g) for g in range(NCRF) if CRF_MASK[f, g])
 NQ_F = [1 + len(gl) for gl in G_LISTS]
 NQ_MAX = max(NQ_F)
 
-# Largest candidate count a single suppression-merge pass may see: Mosaic
-# compile time explodes beyond ~256 (measured: nq*L = 256 at L=32 compiles
-# in minutes, 512 at L=64 never finishes). Larger sets run the exact
-# hierarchical merge (see merge_group in _make_kernel).
-MERGE_NCAND_MAX = 256
+# Largest candidate count a single suppression-merge pass may see. Mosaic
+# compile time (and the external compile-helper's kill budget under axon)
+# explodes superlinearly with the per-pass candidate count: 128-candidate
+# pass bodies (m=11 L=16) compile in minutes, a single 256-candidate pass
+# (m=8 L=32) exceeded the helper's ~15-min budget in round 4, 512 never
+# finished in round 3. Larger sets run the exact hierarchical TOURNAMENT
+# merge (see merge_group in _make_kernel), whose per-level passes all
+# share one lax.scan body so each level compiles once.
+MERGE_NCAND_MAX = 128
 
 
 def sel_format(L: int):
@@ -527,43 +531,74 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                     osc, oh1, oh2, osel = _supp_pass(
                         csc0, ch1s, ch2s, None, iL)
                 else:
-                    # Hierarchical merge for large candidate sets (m=8's
-                    # production L=64 -> 8*64 = 512 candidates): Mosaic's
-                    # compile time explodes above ~256 candidates (L=32's
-                    # 256 compiles, 512 ran >30 min without finishing), so
-                    # split the nq sorted lists into groups, take each
-                    # group's top-L-with-dedup, then combine the survivors
-                    # in one final pass. Exact for max-combining: a class
+                    # Hierarchical TOURNAMENT merge for large candidate
+                    # sets (m=8's production L=64 -> 8*64 = 512
+                    # candidates). Entries start as the nq sorted rows;
+                    # each level groups up to ``gsz`` entries (so no pass
+                    # exceeds MERGE_NCAND_MAX candidates) and takes every
+                    # group's top-L-with-dedup, until one entry remains.
+                    # Exact for max-combining AT EVERY LEVEL: a class
                     # outside its group's top-L is beaten by L distinct
-                    # classes within the group, each of which also beats it
-                    # globally — so it cannot be in the global top-L.
+                    # classes within the group, each of which also beats
+                    # it globally — so it cannot be in the global top-L.
                     # (Not exact for lse mass-combining, which therefore
-                    # keeps the single pass above; lse is the old binary's
-                    # experimental mode and has no L>16 config.)
-                    ng = -(-ncand // MERGE_NCAND_MAX)
-                    per = -(-nq // ng)
+                    # keeps the single pass above; lse is the old
+                    # binary's experimental mode and has no L>16 config.)
+                    # COMPILE-TIME structure: all groups of a level have
+                    # identical shapes and run under ONE lax.scan, so the
+                    # pass body is compiled once per level — the
+                    # difference between fitting the external
+                    # compile-helper budget and being SIGKILLed by it.
                     sh = sel_format(L)[1]
-                    groups = []
-                    for g in range(ng):
-                        qs = list(range(g * per, min((g + 1) * per, nq)))
-                        csc_g = jnp.stack([rows_sc[q] for q in qs]
-                                          ).reshape(len(qs) * L, F, CT)
-                        ch1_g = jnp.stack([rows_h1[q] for q in qs]
-                                          ).reshape(len(qs) * L, F, CT)
-                        ch2_g = jnp.stack([rows_h2[q] for q in qs]
-                                          ).reshape(len(qs) * L, F, CT)
-                        csel_g = jnp.stack(
-                            [q * sh + jax.lax.broadcasted_iota(
-                                jnp.int32, (L, F, CT), 0) for q in qs]
-                        ).reshape(len(qs) * L, F, CT)
-                        groups.append(_supp_pass(
-                            csc_g, ch1_g, ch2_g, csel_g, iL))
-                    csc_c = jnp.concatenate([o[0] for o in groups])
-                    ch1_c = jnp.concatenate([o[1] for o in groups])
-                    ch2_c = jnp.concatenate([o[2] for o in groups])
-                    csel_c = jnp.concatenate([o[3] for o in groups])
-                    osc, oh1, oh2, osel = _supp_pass(
-                        csc_c, ch1_c, ch2_c, csel_c, iL)
+                    gsz = max(2, MERGE_NCAND_MAX // L)
+                    entries = [
+                        (rows_sc[q], rows_h1[q], rows_h2[q],
+                         q * sh + jax.lax.broadcasted_iota(
+                             jnp.int32, (L, F, CT), 0))
+                        for q in range(nq)]
+                    while len(entries) > 1:
+                        g = min(gsz, len(entries))
+                        ng = len(entries) // g  # full groups this level
+                        if ng == 1:
+                            outs = [o[None] for o in _supp_pass(
+                                *[jnp.concatenate(
+                                    [entries[j][a] for j in range(g)])
+                                  for a in range(3)],
+                                jnp.concatenate(
+                                    [entries[j][3] for j in range(g)]),
+                                iL)]
+                        else:
+                            stacked = [
+                                jnp.stack([
+                                    jnp.concatenate(
+                                        [entries[i * g + j][a]
+                                         for j in range(g)])
+                                    for i in range(ng)])
+                                for a in range(4)]  # [ng, g*L, F, CT] x4
+                            # fori + dynamic index on the leading
+                            # (untiled) axis: lax.scan's stacked outputs
+                            # do not lower in Mosaic
+                            acc0 = tuple(
+                                jnp.zeros((ng, L, F, CT), a.dtype)
+                                for a in stacked)
+
+                            def level_body(i, acc):
+                                xs = [jax.lax.dynamic_index_in_dim(
+                                    a, i, keepdims=False)
+                                    for a in stacked]
+                                o = _supp_pass(xs[0], xs[1], xs[2],
+                                               xs[3], iL)
+                                return tuple(
+                                    jax.lax.dynamic_update_index_in_dim(
+                                        ac, oo, i, 0)
+                                    for ac, oo in zip(acc, o))
+
+                            outs = jax.lax.fori_loop(0, ng, level_body,
+                                                     acc0)
+                        nxt = [tuple(o[i] for o in outs)
+                               for i in range(ng)]
+                        entries = nxt + entries[ng * g:]  # + leftovers
+                    osc, oh1, oh2, osel = entries[0]
 
                 # position 0 (padded row 1): stay-only, slot 0 scored, all
                 # list slots carried through unchanged (cpp:706-713)

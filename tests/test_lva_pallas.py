@@ -49,6 +49,24 @@ def test_pallas_interpret_hierarchical_merge(golden_dir):
     assert got == _ref_lists(golden_dir, case["name"])
 
 
+def test_pallas_interpret_tournament_l64(golden_dir):
+    """The production m=8 L=64 shape (supplementary §5.2 default list
+    size): 8*64 = 512 candidates run the multi-LEVEL tournament merge
+    (pairwise passes capped at MERGE_NCAND_MAX candidates, one lax.scan
+    body per level). Reference-binary golden, bit-for-bit."""
+    case = next(c for c in _cases(golden_dir) if c["name"] == "m8_r1_rc0_l64")
+    cfg = DecodeConfig(
+        code=ConvCodeConfig(mem=case["mem"], rate=case["rate"],
+                            msg_len=case["msg_len"], rc=case["rc"]),
+        list_size=case["list_size"], max_deviation=case["max_deviation"],
+        backend="pallas_interpret")
+    dec = LVADecoder(cfg)
+    post = _load_post(golden_dir, case["name"])
+    msgs, _, valid = dec.decode(post[None])
+    got = ["".join(map(str, m)) for m, v in zip(msgs[0], valid[0]) if v]
+    assert got == _ref_lists(golden_dir, case["name"])
+
+
 def test_pallas_interpret_multitile(golden_dir):
     """Multi-tile conv axis (CT < C): the per-offset block-view expansion
     path used by m=11/14 on hardware, exercised via m=8 with a forced
