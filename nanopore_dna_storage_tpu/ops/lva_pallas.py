@@ -212,12 +212,18 @@ def _stage_shifts(ct: int, nst: int):
 
 
 def _narrow(spec, consts) -> bool:
-    """Large lists (production m=8 uses L=64, supplementary §5.2) blow the
-    VMEM budget if all candidate expansions ride one stacked butterfly
-    (the xpd2 scratch is 4*3*8*L*CT floats — 50 MB at L=64, CT=256); the
-    narrow path loops candidates through a single-slot scratch and
-    accumulates each straight into the compacted per-base planes."""
-    return spec.list_size > 16
+    """Whether candidate expansions loop through a single-slot scratch
+    (narrow) instead of riding one stacked 4-candidate butterfly (wide).
+
+    The choice is a VMEM-vs-COMPILE-TIME tradeoff: the wide xpd2 scratch
+    is 4*3*8*L*CT floats (25 MB at L=64, CT=256 — m=8's production
+    list), while the narrow path butterflies the full stacked row once
+    PER CANDIDATE, which quadruples the dominant Mosaic instruction
+    count and blew the external compile-helper's kill budget at L=64
+    (round 4). Narrow only when the wide scratch plus the cnd planes
+    would not fit the kernel's VMEM budget."""
+    wide_bytes = NC * 3 * NCRF * spec.list_size * consts.ct * 4
+    return spec.list_size > 16 and wide_bytes > 32 * 1024 * 1024
 
 
 def _make_kernel(spec, consts: PallasConsts, interpret: bool):
@@ -244,6 +250,8 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
     roll = jnp.roll if interpret else pltpu.roll
     small = consts.ct == spec.code.nstate_conv  # one conv tile
     narrow = _narrow(spec, consts)
+    use_k0 = bool((np.asarray(consts.pattern)[1:] == 0).any())
+    use_k1 = bool((np.asarray(consts.pattern)[1:] != 0).any())
     i32f = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.float32)
     f32i = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.int32)
 
@@ -402,12 +410,21 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                     cnd[3 * beta + 1] = i32f(_hupd(h1_b, shift, nb, HASH_P1))
                     cnd[3 * beta + 2] = i32f(_hupd(h2_b, shift, nb, HASH_P2))
 
-            @pl.when(is1)
-            def _():
-                make_cand(0)
+            # only compile the pattern variants this code's puncture
+            # sequence actually uses (rate 1/2 is pure pattern 0: the
+            # kvar=1 expansion would double the dominant Mosaic
+            # instruction count for nothing)
+            if use_k0 and use_k1:
+                @pl.when(is1)
+                def _():
+                    make_cand(0)
 
-            @pl.when(jnp.logical_not(is1))
-            def _():
+                @pl.when(jnp.logical_not(is1))
+                def _():
+                    make_cand(1)
+            elif use_k0:
+                make_cand(0)
+            else:
                 make_cand(1)
 
             cand = [(cnd[3 * b], f32i(cnd[3 * b + 1]), f32i(cnd[3 * b + 2]))
@@ -559,44 +576,19 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                     while len(entries) > 1:
                         g = min(gsz, len(entries))
                         ng = len(entries) // g  # full groups this level
-                        if ng == 1:
-                            outs = [o[None] for o in _supp_pass(
+                        # passes are unrolled in Python: neither
+                        # lax.scan's stacked outputs nor dynamic_slice on
+                        # values lower in Mosaic, and the per-pass bodies
+                        # are small enough (<= MERGE_NCAND_MAX cands)
+                        # that unrolling stays within the compile budget
+                        nxt = []
+                        for i in range(ng):
+                            nxt.append(_supp_pass(
                                 *[jnp.concatenate(
-                                    [entries[j][a] for j in range(g)])
-                                  for a in range(3)],
-                                jnp.concatenate(
-                                    [entries[j][3] for j in range(g)]),
-                                iL)]
-                        else:
-                            stacked = [
-                                jnp.stack([
-                                    jnp.concatenate(
-                                        [entries[i * g + j][a]
-                                         for j in range(g)])
-                                    for i in range(ng)])
-                                for a in range(4)]  # [ng, g*L, F, CT] x4
-                            # fori + dynamic index on the leading
-                            # (untiled) axis: lax.scan's stacked outputs
-                            # do not lower in Mosaic
-                            acc0 = tuple(
-                                jnp.zeros((ng, L, F, CT), a.dtype)
-                                for a in stacked)
-
-                            def level_body(i, acc):
-                                xs = [jax.lax.dynamic_index_in_dim(
-                                    a, i, keepdims=False)
-                                    for a in stacked]
-                                o = _supp_pass(xs[0], xs[1], xs[2],
-                                               xs[3], iL)
-                                return tuple(
-                                    jax.lax.dynamic_update_index_in_dim(
-                                        ac, oo, i, 0)
-                                    for ac, oo in zip(acc, o))
-
-                            outs = jax.lax.fori_loop(0, ng, level_body,
-                                                     acc0)
-                        nxt = [tuple(o[i] for o in outs)
-                               for i in range(ng)]
+                                    [entries[i * g + j][a]
+                                     for j in range(g)])
+                                  for a in range(4)],
+                                iL))
                         entries = nxt + entries[ng * g:]  # + leftovers
                     osc, oh1, oh2, osel = entries[0]
 
@@ -700,7 +692,9 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
             out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((3, NCRF, L, CT), jnp.float32),
                             pltpu.VMEM(
-                                (1 if _narrow(spec, consts) else 4,
+                                (1 if _narrow(spec, consts) else
+                                 (4 if (consts.pattern[1:] != 0).any()
+                                  else 2),
                                  3, NCRF, L, CT), jnp.float32),
                             pltpu.VMEM((12, NCRF, L, CT), jnp.float32)]),
         out_shape=out_shape,

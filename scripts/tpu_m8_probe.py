@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--msg-len", type=int, default=100)
     ap.add_argument("--list-size", type=int, default=64)
     ap.add_argument("--max-deviation", type=int, default=20)
+    ap.add_argument("--ct", type=int, default=None,
+                    help="conv tile width override (compile-time probe)")
     ap.add_argument("--skip-verify", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -56,7 +58,7 @@ def main():
 
     dec = LVADecoder(DecodeConfig(code=cfg, list_size=args.list_size,
                                   max_deviation=args.max_deviation,
-                                  backend="pallas"))
+                                  backend="pallas", pallas_ct=args.ct))
     t0 = time.perf_counter()
     m, sc, v = dec.decode(post[None])  # compile + first decode
     t_first = time.perf_counter() - t0
