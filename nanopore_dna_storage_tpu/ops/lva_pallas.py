@@ -508,11 +508,18 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                 return st[1], st[2], st[3], st[4]
 
             def merge_group(fs):
-                """One stacked merge over CRF destinations ``fs`` (all with
-                the same list count): state arrays carry an F axis next to
-                the lanes, so the 4 flips (and the 4 flops) run as ONE
-                while-loop instead of four."""
-                nq = NQ_F[fs[0]]
+                """One stacked merge over CRF destinations ``fs``: state
+                arrays carry an F axis next to the lanes, so all
+                destinations run as ONE merge loop. Destinations with
+                fewer predecessor lists (flops: stay + 1) pad with NEG
+                rows — a NEG candidate can never win a pop, and real
+                candidates keep their relative order per destination, so
+                pop order (and tie-breaking) is unchanged. Running all 8
+                CRF destinations together fills the (8, lane) vregs that
+                an F=4 stack would leave half-padded — the merge is the
+                dominant VPU cost, so sublane utilization doubles for
+                ~1.25x fewer vector instructions overall."""
+                nq = max(NQ_F[f] for f in fs)
                 F = len(fs)
                 iL = jax.lax.broadcasted_iota(jnp.int32, (L, F, CT), 0)
 
@@ -523,15 +530,23 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                 stay_h1 = fstack([ph1[f] for f in fs])
                 stay_h2 = fstack([ph2[f] for f in fs])
                 rows_sc, rows_h1, rows_h2 = [stay_sc], [stay_h1], [stay_h2]
+                negrow = jnp.full((L, CT), NEG, jnp.float32)
+                zrow = jnp.zeros((L, CT), jnp.int32)
                 for qi in range(nq - 1):
-                    gs = [G_LISTS[f][qi] for f in fs]
-                    rows_sc.append(fstack(
-                        [cand[f % 4][0][g] + move_tr[f, g]
-                         for f, g in zip(fs, gs)]))
-                    rows_h1.append(fstack(
-                        [cand[f % 4][1][g] for f, g in zip(fs, gs)]))
-                    rows_h2.append(fstack(
-                        [cand[f % 4][2][g] for f, g in zip(fs, gs)]))
+                    r_sc, r_h1, r_h2 = [], [], []
+                    for f in fs:
+                        if qi < len(G_LISTS[f]):
+                            g = G_LISTS[f][qi]
+                            r_sc.append(cand[f % 4][0][g] + move_tr[f, g])
+                            r_h1.append(cand[f % 4][1][g])
+                            r_h2.append(cand[f % 4][2][g])
+                        else:
+                            r_sc.append(negrow)
+                            r_h1.append(zrow)
+                            r_h2.append(zrow)
+                    rows_sc.append(fstack(r_sc))
+                    rows_h1.append(fstack(r_h1))
+                    rows_h2.append(fstack(r_h2))
                 # --- suppression merge: pop the global max, accept it into
                 # the (static) slot of the current round, and knock out its
                 # whole message class (equal dual hash) so every later pop
@@ -606,11 +621,9 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                     o_h2[0, f] = jnp.where(wm[None], oh2[:, fi], s_h2[0, f])
                 return jnp.where(wm[None, None], osel, -1)  # [L, F, CT]
 
-            sel_flip = merge_group([0, 1, 2, 3])
-            sel_flop = merge_group([4, 5, 6, 7])
-            o_sel[0] = jnp.concatenate(
-                [jnp.moveaxis(sel_flip, 1, 0), jnp.moveaxis(sel_flop, 1, 0)]
-            ).reshape(NCRF * L, CT).astype(sel_format(L)[0])
+            sel_all = merge_group(list(range(NCRF)))
+            o_sel[0] = jnp.moveaxis(sel_all, 1, 0).reshape(
+                NCRF * L, CT).astype(sel_format(L)[0])
 
     return kernel
 
