@@ -108,11 +108,14 @@ def estimate_kernel_ops(spec, consts, nblk: int) -> float:
     compact = 3 * ncs * 4 * plane  # per-base accumulate selects
     hashes = 4 * 2 * 11 * plane  # 4 betas x 2 hashes x (shl+add+3x(2cmp+sub))
     merge = 0.0
-    for nq, F in ((8, 4), (2, 4)):  # flips, flops
+    # one F=8 merge over all CRF destinations (kernel v11): flop rows pad
+    # to the flips' nq=8 with NEG — the padded rows still execute, so
+    # they count as executed ops (utilization = executed/peak)
+    for nq, F in ((8, 8),):
         cand = nq * L * F * CT
         outp = L * F * CT
-        merge += L * (13 * cand + 5 * outp)  # L rounds: max/argmax/ohot/
-        #                                      dedup-knockout + slot puts
+        merge += L * (12 * cand + 4 * outp)  # L rounds: max/argmax/ohot/
+        #                                      2x extract/dedup-knockout
     cell = butterfly + compact + hashes + merge
     return float(nblk) * W * n_ct * cell
 
@@ -230,6 +233,9 @@ def main():
     ap.add_argument("--backend", default="pallas",
                     choices=["xla", "pallas", "pallas_interpret"])
     ap.add_argument("--merge-rounds", type=int, default=None)
+    ap.add_argument("--ct", type=int, default=None,
+                    help="override the Pallas conv tile width "
+                         "(DecodeConfig.pallas_ct; default 512)")
     ap.add_argument("--profile", action="store_true",
                     help="also capture a device trace and report the "
                          "kernel share of device time")
@@ -310,7 +316,8 @@ def main():
             return LVADecoder(DecodeConfig(code=cfg, list_size=list_size,
                                            max_deviation=dev,
                                            backend=args.backend,
-                                           merge_rounds=args.merge_rounds))
+                                           merge_rounds=args.merge_rounds,
+                                           pallas_ct=args.ct))
         # the scale-out path: same chunk programs under shard_map over a
         # (here 1-chip) data mesh + device-side CRC/index classify
         from nanopore_dna_storage_tpu.parallel.mesh import (
@@ -384,6 +391,8 @@ def main():
                 cmd.append("--sharded")
             if args.merge_rounds is not None:
                 cmd += ["--merge-rounds", str(args.merge_rounds)]
+            if args.ct is not None:
+                cmd += ["--ct", str(args.ct)]
             try:
                 r = subprocess.run(cmd, capture_output=True, text=True,
                                    timeout=2400 if args.verify else 1200)

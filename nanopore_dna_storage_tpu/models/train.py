@@ -137,14 +137,17 @@ def make_trainer(cfg: ff.FlipflopConfig, learning_rate: float = 1e-3,
 
 
 def synthetic_batches(rng: np.random.Generator, batch: int, seq_len: int,
-                      pad_T: int, pad_S: int) -> Iterator[Tuple]:
+                      pad_T: int, pad_S: int,
+                      kmer: int | None = None) -> Iterator[Tuple]:
     """Endless (signal, nsamples, seq_states, seqlens, seqs) batches from the
-    hermetic squiggle simulator."""
+    hermetic squiggle simulator. ``kmer`` selects the pore-model context
+    length (None = the module default, signal/squiggle.KMER)."""
+    kw = {} if kmer is None else {"kmer": kmer}
     while True:
         sigs, states, lens, seqs = [], [], [], []
         for _ in range(batch):
             seq = rng.integers(0, 4, seq_len).astype(np.uint8)
-            raw = simulate_raw_signal(seq, rng, deepsim_dwell=False)
+            raw = simulate_raw_signal(seq, rng, deepsim_dwell=False, **kw)
             sigs.append(medmad_normalize(raw)[:pad_T])
             sp = crf_state_path(seq)
             states.append(sp)
@@ -163,15 +166,19 @@ def synthetic_batches(rng: np.random.Generator, batch: int, seq_len: int,
 def train_on_synthetic(cfg: ff.FlipflopConfig, steps: int, batch: int = 8,
                        seq_len: int = 40, seed: int = 0,
                        learning_rate: float = 1e-3,
-                       schedule: bool = False):
-    """Train a model against the hermetic pore model. Returns (state, losses)."""
+                       schedule: bool = False, kmer: int | None = None):
+    """Train a model against the hermetic pore model. Returns (state, losses).
+
+    ``kmer`` selects the pore-model context length (None = module default);
+    it must match the kmer the trained model will basecall."""
     rng = np.random.default_rng(seed)
     pad_T = seq_len * 12
     init, train_step = make_trainer(cfg, learning_rate,
                                     total_steps=steps if schedule else 0)
     state = init(seed)
     losses = []
-    gen = synthetic_batches(rng, batch, seq_len, pad_T, seq_len + 2)
+    gen = synthetic_batches(rng, batch, seq_len, pad_T, seq_len + 2,
+                            kmer=kmer)
     for _ in range(steps):
         sig, ns, st, sl, _ = next(gen)
         state.params, state.opt_state, loss = train_step(

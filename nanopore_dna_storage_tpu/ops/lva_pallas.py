@@ -40,6 +40,7 @@ Design notes (docs/DESIGN.md §5 has the long version):
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, NamedTuple
 
@@ -80,9 +81,23 @@ NQ_MAX = max(NQ_F)
 # pass bodies (m=11 L=16) compile in minutes, a single 256-candidate pass
 # (m=8 L=32) exceeded the helper's ~15-min budget in round 4, 512 never
 # finished in round 3. Larger sets run the exact hierarchical TOURNAMENT
-# merge (see merge_group in _make_kernel), whose per-level passes all
-# share one lax.scan body so each level compiles once.
+# merge (see merge_group in _make_kernel), whose passes are unrolled in
+# Python with each pass body kept under this cap.
 MERGE_NCAND_MAX = 128
+
+# Rounds per while-loop iteration for L > 16 suppression passes: one
+# round per iteration pays a scalar-core round-trip per pop (the stall
+# v10 removed for small L by full unrolling), while fully unrolling 64
+# rounds blows the Mosaic compile budget. 4 splits the difference.
+L_UNROLL = 4
+
+# Pop implementation for the suppression merge: "argmax" (jnp.max +
+# jnp.argmax + one-hot payload extraction) vs "tree" (adjacent-pairs
+# reduction carrying payloads). Measured on the v5e chip for m=11 L=8:
+# argmax 1.93 s/read, tree 2.10 — Mosaic lowers the fused native
+# reductions better than the pairing tree's strided extracts. Env
+# override for kernel experiments only.
+POP_IMPL = os.environ.get("NDS_POP_IMPL", "argmax")
 
 
 def sel_format(L: int):
@@ -216,12 +231,12 @@ def _narrow(spec, consts) -> bool:
     (narrow) instead of riding one stacked 4-candidate butterfly (wide).
 
     The choice is a VMEM-vs-COMPILE-TIME tradeoff: the wide xpd2 scratch
-    is 4*3*8*L*CT floats (25 MB at L=64, CT=256 — m=8's production
-    list), while the narrow path butterflies the full stacked row once
-    PER CANDIDATE, which quadruples the dominant Mosaic instruction
-    count and blew the external compile-helper's kill budget at L=64
-    (round 4). Narrow only when the wide scratch plus the cnd planes
-    would not fit the kernel's VMEM budget."""
+    is 4*3*8*L*CT floats (6.3 MB at L=64, CT=256, so m=8's production
+    list runs WIDE), while the narrow path butterflies the full stacked
+    row once PER CANDIDATE, which quadruples the dominant Mosaic
+    instruction count and blew the external compile-helper's kill budget
+    at L=64 (round 4). Narrow only when the wide xpd2 scratch alone
+    exceeds 32 MB (e.g. L=64 at CT >= 1024)."""
     wide_bytes = NC * 3 * NCRF * spec.list_size * consts.ct * 4
     return spec.list_size > 16 and wide_bytes > 32 * 1024 * 1024
 
@@ -287,6 +302,17 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
         def _main():
             psc, ph1, ph2 = p_sc[0], p_h1[0], p_h2[0]  # [8, L, CT]
 
+            if os.environ.get("NDS_FAKE_CELL"):
+                # timing experiment ONLY (wrong lists): a near-empty cell
+                # with the same grid, DMAs and outputs — isolates the
+                # per-cell fixed cost (DMA issue + grid overhead).
+                for f in range(NCRF):
+                    o_sc[0, f] = psc[f] + s_sc[0, f] * 0
+                    o_h1[0, f] = ph1[f]
+                    o_h2[0, f] = ph2[f]
+                o_sel[0] = jnp.zeros((NCRF * L, CT), sel_format(L)[0])
+                return
+
             # hoisted butterfly take masks (shared by all expansions)
             takes2 = [bfly[0, s] != 0 for s in range(len(sh_k2))]
             takes4 = [bfly[1, s] != 0 for s in range(len(sh_k4))]
@@ -328,6 +354,11 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
 
             def expand_all(kvar, ncs):
                 """All ncs candidate expansions as ONE wide butterfly."""
+                if os.environ.get("NDS_FAKE_EXPAND"):
+                    # timing experiment ONLY (wrong lists): skip the
+                    # butterfly + source staging; feed the stay planes so
+                    # downstream work keeps its real shape and cost
+                    return [(psc, ph1, ph2)] * ncs
                 for c in range(ncs):
                     _fill_src(c, kvar, c)
                 y = butterfly(xpd2[0:ncs], takes2 if kvar == 0 else takes4,
@@ -433,79 +464,175 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
             wm = (valid[pl.ds(pos, 1)][0] != 0) & act  # [CT]
             isp0 = pos == 1
 
+            def _tree_pop(csc, ch1s, ch2s, codes):
+                """Global max over the candidate (leading) axis with the
+                (h1, h2, selcode) payloads of the winner, by an
+                ADJACENT-pairs tree reduction (even vs odd leading slices,
+                keep-left on ties). Adjacent pairing is what preserves the
+                reference heap's tie order: every combine keeps the lower
+                candidate index, and blocks stay index-monotone across
+                levels — a strided halving tree would not (the level-2
+                winners' original indices are not ordered). Replaces the
+                argmax + one-hot + masked-sum extraction (v10) with one
+                fused sweep: (ncand-1) x (1 cmp + 4 selects) instead of
+                ~3 full candidate-array sweeps per pop."""
+                while csc.shape[0] > 1:
+                    n2 = (csc.shape[0] // 2) * 2
+                    parts = []
+                    for x in (csc, ch1s, ch2s, codes):
+                        # adjacent pairing via a leading-axis reshape (a
+                        # strided slice here lowers as an unsupported
+                        # >2-D gather in Mosaic)
+                        p = x[0:n2].reshape(n2 // 2, 2, *x.shape[1:])
+                        parts.append((p[:, 0], p[:, 1], x[n2:]))
+                    (a_sc, b_sc, r_sc) = parts[0]
+                    tk = b_sc > a_sc  # strict: keep left (lower idx) on tie
+                    nxt = [jnp.where(tk, b, a) for a, b, _ in parts]
+                    csc, ch1s, ch2s, codes = [
+                        jnp.concatenate([y, r], axis=0) if r.shape[0]
+                        else y for y, (_, _, r) in zip(nxt, parts)]
+                return csc[0], ch1s[0], ch2s[0], codes[0]
+
             def _supp_pass(csc0, ch1s, ch2s, csels, iL):
                 """One suppression-merge pass: L rounds popping the global
                 max over the candidate axis, knocking out its whole
                 equal-dual-hash class (see merge_group). ``csels``: int32
                 selection codes per candidate, or None to derive the code
-                arithmetically from the popped index (the single-pass
-                layout q*shift + slot). Returns (osc, oh1, oh2, osel).
+                from the candidate's flat index (the single-pass layout
+                q*shift + slot). Returns (osc, oh1, oh2, osel).
 
-                For small L the L rounds are UNROLLED: a lax.while_loop
-                costs scalar-core round-trips per iteration that stall the
-                VPU between rounds, and a round whose candidates are
-                exhausted puts nothing (best = NEG -> ok False), so the
-                early-exit check is semantically redundant. Large L keeps
-                the loop: unrolling 64 rounds explodes Mosaic compile
-                time.
+                For small L the L rounds are UNROLLED and their outputs
+                STACKED (the output slot of round r is statically r): a
+                lax.while_loop costs scalar-core round-trips per
+                iteration that stall the VPU between rounds, and a round
+                whose candidates are exhausted puts nothing (best = NEG
+                -> ok False), so the early-exit check is semantically
+                redundant. Large L (m=8's production 64) keeps the
+                early-exit loop but runs L_UNROLL rounds per iteration —
+                fully unrolling 64 tree-rounds would blow the Mosaic
+                compile budget, while one round per iteration pays a
+                scalar-core stall per pop.
                 """
                 ncand, F, _ = csc0.shape
-                iC = jax.lax.broadcasted_iota(
-                    jnp.int32, (ncand, F, CT), 0)
+                if csels is None and (POP_IMPL == "tree" or lse):
+                    iC = jax.lax.broadcasted_iota(
+                        jnp.int32, (ncand, F, CT), 0)
+                    # + (h >> 31) is always zero (hashes live in [0, p),
+                    # p < 2^30) but the compiler cannot fold it: a pure
+                    # iota-derived value keeps a lane-REPLICATED Mosaic
+                    # layout whose extract_strided_slice in the pairing
+                    # tree crashes ApplyVectorLayout ("limits[i] <=
+                    # dim(i)"); the data dependence forces a materialized
+                    # lane-varying layout. (The argmax pop instead keeps
+                    # csels=None and derives the code from the popped
+                    # index arithmetically — no candidate-sized sweep.)
+                    csels = (iC // L) * sel_format(L)[1] + (iC % L) \
+                        + (ch1s >> 31)
 
-                def body(st, rnd):
-                    (csc, osc, oh1, oh2, osel) = st
-                    best = jnp.max(csc, axis=0)  # [F, CT]
-                    bq = jnp.argmax(csc, axis=0)
-                    ok = best > NEG
-                    ohot = iC == bq[None]
-                    ch1 = jnp.where(ohot, ch1s, 0).sum(0)
-                    ch2 = jnp.where(ohot, ch2s, 0).sum(0)
-                    eqh = (ch1s == ch1[None]) & (ch2s == ch2[None])
-                    if lse:
-                        # combine the whole duplicate class's path mass at
-                        # pop time (extra/viterbi_nanopore.cpp:883-888)
+                if lse:
+                    # lse combines the whole duplicate class's path mass
+                    # at pop time (extra/viterbi_nanopore.cpp:883-888) and
+                    # needs the per-round eqh mass sum anyway; keep the
+                    # masked-put structure (experimental mode, small L)
+                    def body(st, rnd):
+                        (csc, osc, oh1, oh2, osel) = st
+                        best, ch1, ch2, code = _tree_pop(
+                            csc, ch1s, ch2s, csels)
+                        ok = best > NEG
+                        eqh = (ch1s == ch1[None]) & (ch2s == ch2[None])
                         val = best + jnp.log(jnp.sum(
                             jnp.where(eqh & (csc > NEG),
                                       jnp.exp(csc - best[None]), 0.0),
                             axis=0))
-                    else:
-                        val = best
-                    csc = jnp.where(eqh, NEG, csc)
-                    put = (iL == rnd) & ok[None]
-                    osc = jnp.where(put, val[None], osc)
-                    oh1 = jnp.where(put, ch1[None], oh1)
-                    oh2 = jnp.where(put, ch2[None], oh2)
-                    if csels is None:
+                        csc = jnp.where(eqh, NEG, csc)
+                        put = (iL == rnd) & ok[None]
+                        osc = jnp.where(put, val[None], osc)
+                        oh1 = jnp.where(put, ch1[None], oh1)
+                        oh2 = jnp.where(put, ch2[None], oh2)
+                        osel = jnp.where(put, code[None], osel)
+                        return (csc, osc, oh1, oh2, osel)
+
+                    st = (
+                        csc0,
+                        jnp.full((L, F, CT), NEG, jnp.float32),
+                        jnp.zeros((L, F, CT), jnp.int32),
+                        jnp.zeros((L, F, CT), jnp.int32),
+                        jnp.full((L, F, CT), -1, jnp.int32),
+                    )
+                    for rnd in range(L):
+                        st = body(st, rnd)
+                    return st[1], st[2], st[3], st[4]
+
+                def _argmax_pop(csc):
+                    """v10-style pop: native max/argmax reductions over
+                    the candidate axis + one-hot payload extraction.
+                    Lowers to fused Mosaic multi-reductions that beat the
+                    pairing tree on hardware (see POP_IMPL)."""
+                    best = jnp.max(csc, axis=0)
+                    bq = jnp.argmax(csc, axis=0)
+                    iC = jax.lax.broadcasted_iota(
+                        jnp.int32, csc.shape, 0)
+                    ohot = iC == bq[None]
+                    ch1 = jnp.where(ohot, ch1s, 0).sum(0)
+                    ch2 = jnp.where(ohot, ch2s, 0).sum(0)
+                    if csels is None:  # single-pass layout: arithmetic
                         code = (bq // L) * sel_format(L)[1] + (bq % L)
                     else:
                         code = jnp.where(ohot, csels, 0).sum(0)
-                    osel = jnp.where(put, code[None], osel)
-                    return (csc, osc, oh1, oh2, osel), jnp.any(ok)
+                    return best, ch1, ch2, code
 
-                st = (
-                    csc0,
-                    jnp.full((L, F, CT), NEG, jnp.float32),
-                    jnp.zeros((L, F, CT), jnp.int32),
-                    jnp.zeros((L, F, CT), jnp.int32),
-                    jnp.full((L, F, CT), -1, jnp.int32),
-                )
+                def pop_round(csc):
+                    """One pop: winner + class knockout. Returns the
+                    popped (val, h1, h2, code) planes and the updated
+                    candidate scores."""
+                    if POP_IMPL == "tree":
+                        best, ch1, ch2, code = _tree_pop(csc, ch1s, ch2s,
+                                                         csels)
+                    else:
+                        best, ch1, ch2, code = _argmax_pop(csc)
+                    ok = best > NEG
+                    eqh = (ch1s == ch1[None]) & (ch2s == ch2[None])
+                    csc = jnp.where(eqh, NEG, csc)
+                    return csc, (best,
+                                 jnp.where(ok, ch1, 0),
+                                 jnp.where(ok, ch2, 0),
+                                 jnp.where(ok, code, -1))
+
                 if L <= 16:
-                    for rnd in range(L):
-                        st, _ = body(st, rnd)
-                else:
-                    def wcond(c):
-                        rnd, _, alive = c
-                        return (rnd < L) & alive
+                    csc, outs = csc0, []
+                    for _ in range(L):
+                        csc, o = pop_round(csc)
+                        outs.append(o)
+                    return tuple(
+                        jnp.stack([o[a] for o in outs]) for a in range(4))
 
-                    def wbody(c):
-                        rnd, st, _ = c
-                        st, any_ok = body(st, rnd)
-                        return rnd + 1, st, any_ok
+                def wcond(c):
+                    rnd, csc, _, alive = c
+                    return (rnd < L) & alive
 
-                    _, st, _ = jax.lax.while_loop(
-                        wcond, wbody, (jnp.int32(0), st, jnp.bool_(True)))
-                return st[1], st[2], st[3], st[4]
+                def wbody(c):
+                    rnd, csc, (osc, oh1, oh2, osel), _ = c
+                    any_ok = jnp.bool_(False)
+                    for j in range(L_UNROLL):
+                        csc, (val, ch1, ch2, code) = pop_round(csc)
+                        ok = val > NEG
+                        any_ok = any_ok | jnp.any(ok)
+                        put = (iL == rnd + j) & ok[None]
+                        osc = jnp.where(put, val[None], osc)
+                        oh1 = jnp.where(put, ch1[None], oh1)
+                        oh2 = jnp.where(put, ch2[None], oh2)
+                        osel = jnp.where(put, code[None], osel)
+                    return (rnd + L_UNROLL, csc, (osc, oh1, oh2, osel),
+                            any_ok)
+
+                st0 = (jnp.full((L, F, CT), NEG, jnp.float32),
+                       jnp.zeros((L, F, CT), jnp.int32),
+                       jnp.zeros((L, F, CT), jnp.int32),
+                       jnp.full((L, F, CT), -1, jnp.int32))
+                _, _, st, _ = jax.lax.while_loop(
+                    wcond, wbody,
+                    (jnp.int32(0), csc0, st0, jnp.bool_(True)))
+                return st
 
             def merge_group(fs):
                 """One stacked merge over CRF destinations ``fs``: state
@@ -556,7 +683,17 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                 # the heap would discard at pop time, cpp:744-799). No
                 # pointers, no head refresh.
                 ncand = nq * L
-                if ncand <= MERGE_NCAND_MAX or lse:
+                if os.environ.get("NDS_FAKE_MERGE"):
+                    # timing experiment ONLY (wrong lists): consume every
+                    # candidate row with one cheap reduce so the
+                    # expansion work is not dead-code-eliminated, but
+                    # skip the L suppression rounds — the wall-clock
+                    # delta vs a normal run isolates the merge cost.
+                    osc = sum(rows_sc)
+                    oh1 = sum(rows_h1)
+                    oh2 = sum(rows_h2)
+                    osel = iL
+                elif ncand <= MERGE_NCAND_MAX or lse:
                     csc0 = jnp.stack(rows_sc).reshape(ncand, F, CT)
                     ch1s = jnp.stack(rows_h1).reshape(ncand, F, CT)
                     ch2s = jnp.stack(rows_h2).reshape(ncand, F, CT)
@@ -576,17 +713,21 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                     # (Not exact for lse mass-combining, which therefore
                     # keeps the single pass above; lse is the old
                     # binary's experimental mode and has no L>16 config.)
-                    # COMPILE-TIME structure: all groups of a level have
-                    # identical shapes and run under ONE lax.scan, so the
-                    # pass body is compiled once per level — the
-                    # difference between fitting the external
-                    # compile-helper budget and being SIGKILLed by it.
+                    # COMPILE-TIME structure: passes are unrolled in
+                    # Python (see below) with every pass body capped at
+                    # MERGE_NCAND_MAX candidates — keeping each body
+                    # small is the difference between fitting the
+                    # external compile-helper budget and being SIGKILLed
+                    # by it.
                     sh = sel_format(L)[1]
                     gsz = max(2, MERGE_NCAND_MAX // L)
+                    # + (h >> 31) == 0 forces a materialized layout (see
+                    # the iota note in _supp_pass)
                     entries = [
                         (rows_sc[q], rows_h1[q], rows_h2[q],
                          q * sh + jax.lax.broadcasted_iota(
-                             jnp.int32, (L, F, CT), 0))
+                             jnp.int32, (L, F, CT), 0)
+                         + (rows_h1[q] >> 31))
                         for q in range(nq)]
                     while len(entries) > 1:
                         g = min(gsz, len(entries))

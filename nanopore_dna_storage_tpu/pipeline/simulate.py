@@ -62,7 +62,8 @@ def simulate_posts(oligos: Sequence[str], num_reads: int,
 
 def simulate_posts_signal(oligos: Sequence[str], num_reads: int,
                           rng: np.random.Generator, params, model_cfg, *,
-                          kmer: int = 6, deepsim_dwell: bool = False):
+                          kmer: int = 6, deepsim_dwell: bool = False,
+                          profile=None):
     """Signal-fidelity read simulation: squiggle synthesis -> basecaller
     forward pass -> forward-backward transition posteriors.
 
@@ -70,6 +71,12 @@ def simulate_posts_signal(oligos: Sequence[str], num_reads: int,
     orientation, raw signal from the pore model, medmad normalize, the
     flip-flop network, transpost — everything the real decode consumes,
     with no synthetic-posterior shortcut. Returns (posts, rc_flags, ids).
+
+    ``profile`` (signal/squiggle.ChannelProfile) injects real-data
+    failure modes: junk (unaligned-analog) and chimeric reads carry
+    id=-1 — they are never countable as correct, like real reads that
+    align to no oligo — plus untrimmed flank bases and the profile's
+    burst/drift signal degradations.
     """
     import jax.numpy as jnp
 
@@ -85,8 +92,30 @@ def simulate_posts_signal(oligos: Sequence[str], num_reads: int,
         rc = bool(rng.integers(2))
         bases = arr[oid] if not rc else convmod.reverse_complement_bases(
             arr[oid])
+        if profile is not None:
+            u = rng.random()
+            if u < profile.junk_frac:
+                # unaligned-read analog: unrelated sequence of this length
+                bases = rng.integers(0, 4, len(bases)).astype(bases.dtype)
+                oid = -1
+            elif u < profile.junk_frac + profile.chimeric_frac:
+                # chimera: prefix of this read + suffix of another
+                o2 = int(rng.integers(len(oligos)))
+                b2 = arr[o2] if not rng.integers(2) else \
+                    convmod.reverse_complement_bases(arr[o2])
+                cut = int(rng.integers(len(bases) // 5,
+                                       4 * len(bases) // 5 + 1))
+                bases = np.concatenate(
+                    [bases[:cut], b2[len(b2) - (len(bases) - cut):]])
+                oid = -1
+            if profile.flank_bases > 0:
+                pre = rng.integers(0, 4, rng.integers(
+                    0, profile.flank_bases + 1)).astype(bases.dtype)
+                post_fl = rng.integers(0, 4, rng.integers(
+                    0, profile.flank_bases + 1)).astype(bases.dtype)
+                bases = np.concatenate([pre, bases, post_fl])
         raw = simulate_raw_signal(bases, rng, deepsim_dwell=deepsim_dwell,
-                                  kmer=kmer)
+                                  kmer=kmer, profile=profile)
         raws.append(medmad_normalize(raw))
         rcs.append(rc)
         ids.append(oid)
@@ -114,7 +143,7 @@ def simulate_and_decode_signal(enc: EncodeResult, exp: ExperimentConfig,
                                learning_rate: float = 1e-2,
                                lr_schedule: bool = False,
                                batch: int = 16, train_seq_len: int = 40,
-                               **decode_kw):
+                               profile=None, **decode_kw):
     """End-to-end SIGNAL-fidelity Monte-Carlo decode accuracy.
 
     Trains a basecaller from scratch on the hermetic pore model (unless
@@ -134,17 +163,10 @@ def simulate_and_decode_signal(enc: EncodeResult, exp: ExperimentConfig,
         model_cfg = ff.FlipflopConfig(winlen=7, stride=2, conv_filters=16,
                                       hidden=32, layer_dirs=("b", "f"))
     if params is None:
-        orig = trainmod.simulate_raw_signal
-        trainmod.simulate_raw_signal = (
-            lambda seq, rng, deepsim_dwell=True:
-            orig(seq, rng, deepsim_dwell=deepsim_dwell, kmer=kmer))
-        try:
-            state, _ = trainmod.train_on_synthetic(
-                model_cfg, steps=train_steps, batch=8,
-                seq_len=train_seq_len, seed=seed,
-                learning_rate=learning_rate, schedule=lr_schedule)
-        finally:
-            trainmod.simulate_raw_signal = orig
+        state, _ = trainmod.train_on_synthetic(
+            model_cfg, steps=train_steps, batch=8,
+            seq_len=train_seq_len, seed=seed,
+            learning_rate=learning_rate, schedule=lr_schedule, kmer=kmer)
         params = state.params
 
     rng = np.random.default_rng(seed + 1)
@@ -156,7 +178,8 @@ def simulate_and_decode_signal(enc: EncodeResult, exp: ExperimentConfig,
     for lo in range(0, num_reads, batch):
         n = min(batch, num_reads - lo)
         posts, rcs, ids = simulate_posts_signal(
-            enc.oligos, n, rng, params, model_cfg, kmer=kmer)
+            enc.oligos, n, rng, params, model_cfg, kmer=kmer,
+            profile=profile)
         out = dec.decode_posts(posts, rcs, num_oligos)
         stats.num_reads += n
         stats.crc_pass += int((out.index >= 0).sum())

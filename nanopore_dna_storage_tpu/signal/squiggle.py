@@ -18,6 +18,7 @@ a basecaller trained on real data.
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import lru_cache
 from typing import Tuple
 
@@ -79,6 +80,92 @@ _CTX_W = {-3: 0.08, -2: 0.15, -1: 0.35, 0: 1.00, 1: 0.45, 2: 0.18,
           3: 0.08}
 
 
+@dataclasses.dataclass(frozen=True)
+class ChannelProfile:
+    """Real-data artifacts ABSENT from the clean iid channel.
+
+    The published experiments' channel is real MinION data whose reads are
+    far less decodable than iid simulation at matched mean basecall error:
+    ~8% of reads are chimeric, ~15% unalign entirely, and basecall errors
+    cluster in bursts instead of falling iid (supplementary §7). The
+    clean hermetic channel decodes 81% of reads at m=11 r=5/6 L=8 where
+    the published Table 3 reports 25.91% — this profile injects the
+    missing failure modes so simulated difficulty can be calibrated
+    against Table 3 (scripts/signal_fidelity_report.py --profile).
+
+    * chimeric_frac: fraction of reads spliced from two different
+      oligos/orientations (supplementary §7: ~8%).
+    * junk_frac: fraction of reads replaced by unrelated sequence —
+      the hermetic analog of the ~15% unaligned/adapter reads.
+    * burst_rate/burst_len: per-base probability of entering an error
+      burst, and mean burst length in bases (geometric) — models the
+      clustered (non-iid) basecall errors of real signal.
+    * burst_scale/burst_offset: inside a burst the noise stdv is
+      multiplied by burst_scale and the current level shifted by a
+      per-burst N(0, burst_offset) — the basecaller becomes confidently
+      wrong, as on real low-quality signal stretches.
+    * drift: slow baseline wander amplitude (sinusoid-interpolated
+      random control points every drift_period samples) that medmad
+      normalization cannot remove — real pore current drifts.
+    * flank_bases: up to this many random untrimmed bases on each read
+      end — the reference's barcode-Levenshtein trimming is imperfect
+      (find_barcode_pos_in_post, helper.py:157-209).
+    """
+
+    chimeric_frac: float = 0.0
+    junk_frac: float = 0.0
+    burst_rate: float = 0.0
+    burst_len: float = 12.0
+    burst_scale: float = 4.0
+    burst_offset: float = 0.6
+    drift: float = 0.0
+    drift_period: float = 1500.0
+    flank_bases: int = 0
+
+
+# Calibrated against supplementary Table 3 (see docs/SIGNAL_FIDELITY.json
+# for the measured decode accuracy under this profile): garbage-read
+# fractions straight from supplementary §7, burst/drift parameters tuned
+# so per-read correct% lands within ~2x of Table 3 at both anchor
+# configs (m=11 r=5/6 and m=8 r=1/2).
+PUBLISHED_PROFILE = ChannelProfile(
+    chimeric_frac=0.08, junk_frac=0.15,
+    burst_rate=0.02, burst_len=12.0, burst_scale=5.0, burst_offset=0.8,
+    drift=0.25, drift_period=1500.0, flank_bases=4)
+
+
+def _burst_mask_offsets(n: int, rng: np.random.Generator,
+                        prof: ChannelProfile):
+    """Per-squiggle-row burst membership + per-burst level offsets."""
+    starts = rng.random(n) < prof.burst_rate
+    offs = np.zeros(n, np.float64)
+    mask = np.zeros(n, bool)
+    i = 0
+    while i < n:
+        if starts[i]:
+            ln = 1 + rng.geometric(1.0 / max(prof.burst_len, 1.0))
+            off = rng.normal(0.0, prof.burst_offset)
+            mask[i: i + ln] = True
+            offs[i: i + ln] = off
+            i += ln
+        else:
+            i += 1
+    return mask, offs
+
+
+def _baseline_drift(nsamples: int, rng: np.random.Generator,
+                    prof: ChannelProfile) -> np.ndarray:
+    """Slow baseline wander: random control points every drift_period
+    samples, cosine-interpolated."""
+    ncp = max(2, int(nsamples / prof.drift_period) + 2)
+    cps = rng.normal(0.0, prof.drift, ncp)
+    x = np.arange(nsamples, dtype=np.float64) / prof.drift_period
+    i0 = np.minimum(x.astype(np.int64), ncp - 2)
+    frac = x - i0
+    w = 0.5 - 0.5 * np.cos(np.pi * frac)
+    return (1 - w) * cps[i0] + w * cps[i0 + 1]
+
+
 def deepsim_dwells(n: int, rng: np.random.Generator,
                    alpha: float = 0.1) -> np.ndarray:
     """DeepSimulator dwell sampler (helper.rep_rvs, helper.py:67-83)."""
@@ -127,21 +214,31 @@ def sequence_to_squiggle(bases: np.ndarray, kmer: int = KMER) -> np.ndarray:
 
 def squiggle_to_raw(squiggle: np.ndarray, rng: np.random.Generator,
                     deepsim_dwell: bool = True,
-                    deepsim_alpha: float = 0.1) -> np.ndarray:
+                    deepsim_alpha: float = 0.1,
+                    profile: ChannelProfile | None = None) -> np.ndarray:
     """Expand (dwell, mean, stdv) rows to a noisy raw signal
-    (helper.py:130-140)."""
+    (helper.py:130-140), optionally with the profile's burst/drift
+    degradations."""
     sq = np.asarray(squiggle, dtype=np.float64).copy()
     if deepsim_dwell:
         sq[:, 0] = deepsim_dwells(sq.shape[0], rng, deepsim_alpha)
+    if profile is not None and profile.burst_rate > 0:
+        mask, offs = _burst_mask_offsets(sq.shape[0], rng, profile)
+        sq[:, 1] += offs
+        sq[:, 2] *= np.where(mask, profile.burst_scale, 1.0)
     dwells = np.maximum(np.round(sq[:, 0]).astype(np.int64), 0)
     means = np.repeat(sq[:, 1], dwells)
     stdvs = np.repeat(sq[:, 2], dwells)
-    return rng.laplace(means, stdvs / np.sqrt(2)).astype(np.float32)
+    raw = rng.laplace(means, stdvs / np.sqrt(2))
+    if profile is not None and profile.drift > 0 and len(raw):
+        raw = raw + _baseline_drift(len(raw), rng, profile)
+    return raw.astype(np.float32)
 
 
 def simulate_raw_signal(bases: np.ndarray, rng: np.random.Generator,
                         deepsim_dwell: bool = True,
                         deepsim_alpha: float = 0.1,
-                        kmer: int = KMER) -> np.ndarray:
+                        kmer: int = KMER,
+                        profile: ChannelProfile | None = None) -> np.ndarray:
     return squiggle_to_raw(sequence_to_squiggle(bases, kmer=kmer), rng,
-                           deepsim_dwell, deepsim_alpha)
+                           deepsim_dwell, deepsim_alpha, profile=profile)

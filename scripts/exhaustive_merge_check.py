@@ -44,9 +44,15 @@ def main():
     ap.add_argument("--dev", type=int, default=20)
     ap.add_argument("--seed", type=int, default=23)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--out", default=str(REPO / "docs" /
-                                         "EXHAUSTIVE_CHECK.json"))
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default docs/EXHAUSTIVE_CHECK.json, "
+                         "or _CPU.json with --cpu so the CPU run never "
+                         "clobbers the hardware artifact)")
     args = ap.parse_args()
+    if args.out is None:
+        name = "EXHAUSTIVE_CHECK_CPU.json" if args.cpu \
+            else "EXHAUSTIVE_CHECK.json"
+        args.out = str(REPO / "docs" / name)
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")

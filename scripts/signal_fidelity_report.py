@@ -44,6 +44,18 @@ def main():
                          "at ~2-4 reads per batch (docs/DESIGN.md §6)")
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--profile", default="clean",
+                    choices=["clean", "published"],
+                    help="channel profile: 'clean' = iid hermetic channel; "
+                         "'published' = + chimeric/junk reads, error "
+                         "bursts, baseline drift, flank mis-trim "
+                         "(signal/squiggle.PUBLISHED_PROFILE, calibrated "
+                         "against supplementary Table 3)")
+    ap.add_argument("--params-cache", default="/tmp/nds_fidelity_params.npz",
+                    help="trained-basecaller cache (training is "
+                         "profile-independent; calibration sweeps reuse it)")
+    ap.add_argument("--out", default=None,
+                    help="output JSON (default docs/SIGNAL_FIDELITY.json)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -69,14 +81,30 @@ def main():
     # supplementary §7; scripts/basecall_error_probe.py).
     model_cfg = ff.FlipflopConfig(winlen=11, stride=2, conv_filters=32,
                                   hidden=64, layer_dirs=("b", "f", "b"))
+    params = None
+    cache = pathlib.Path(args.params_cache) if args.params_cache else None
+    if cache is not None and cache.exists():
+        import jax.numpy as jnp
+        with np.load(cache) as z:
+            params = {k: jnp.asarray(z[k]) for k in z.files}
+        print(f"# loaded trained params from {cache}", flush=True)
+
+    profile = None
+    if args.profile == "published":
+        from nanopore_dna_storage_tpu.signal.squiggle import (
+            PUBLISHED_PROFILE)
+        profile = PUBLISHED_PROFILE
+
     t0 = time.perf_counter()
-    stats, _ = simulate_and_decode_signal(
+    stats, params = simulate_and_decode_signal(
         enc, exp, num_reads=args.reads, list_size=args.list_size,
         seed=args.seed, max_deviation=20, train_steps=args.train_steps,
         kmer=args.kmer, model_cfg=model_cfg, train_seq_len=60,
-        learning_rate=3e-3, lr_schedule=True,
-        batch=args.batch, backend=args.backend)
+        learning_rate=3e-3, lr_schedule=True, params=params,
+        batch=args.batch, backend=args.backend, profile=profile)
     dt = time.perf_counter() - t0
+    if cache is not None and not cache.exists():
+        np.savez(cache, **{k: np.asarray(v) for k, v in params.items()})
 
     n = stats.num_reads
     correct = stats.list_correct
@@ -86,6 +114,7 @@ def main():
         "config": f"m={exp.conv_mem} r index {exp.conv_rate} "
                   f"L={args.list_size} max_dev=20 kmer={args.kmer}",
         "experiment": args.experiment,
+        "profile": args.profile,
         "backend": args.backend,
         "train_steps": args.train_steps,
         "num_reads": n,
@@ -102,7 +131,8 @@ def main():
                 "supplementary §7; signal/squiggle.py RESID_SCALE) — "
                 "Table-3 decode accuracy is the comparison anchor",
     }
-    dest = REPO / "docs" / "SIGNAL_FIDELITY.json"
+    dest = pathlib.Path(args.out) if args.out else \
+        REPO / "docs" / "SIGNAL_FIDELITY.json"
     dest.write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
 

@@ -30,10 +30,12 @@ def test_pallas_interpret_golden(golden_dir, name):
 
 
 def test_pallas_interpret_hierarchical_merge(golden_dir):
-    """List sizes with nq*L > MERGE_NCAND_MAX (the Mosaic compile cliff;
-    production m=8 L=64) run the exact hierarchical suppression merge —
-    group top-L passes + a combine pass (ops/lva_pallas.py). m=6 L=34 is
-    the smallest golden shape that exercises it (8*34 = 272 > 256)."""
+    """List sizes with nq*L > MERGE_NCAND_MAX = 128 (the Mosaic compile
+    cliff; production m=8 L=64) run the exact hierarchical TOURNAMENT
+    merge: Python-unrolled passes capped at MERGE_NCAND_MAX candidates
+    each, levels repeating until one list remains (ops/lva_pallas.py).
+    m=6 L=34 (8*34 = 272 candidates) is the smallest golden shape that
+    exercises a multi-level tournament."""
     from nanopore_dna_storage_tpu.ops import lva_pallas
     case = next(c for c in _cases(golden_dir) if c["name"] == "m6_r1_rc0_l34")
     assert 8 * case["list_size"] > lva_pallas.MERGE_NCAND_MAX
@@ -52,8 +54,8 @@ def test_pallas_interpret_hierarchical_merge(golden_dir):
 def test_pallas_interpret_tournament_l64(golden_dir):
     """The production m=8 L=64 shape (supplementary §5.2 default list
     size): 8*64 = 512 candidates run the multi-LEVEL tournament merge
-    (pairwise passes capped at MERGE_NCAND_MAX candidates, one lax.scan
-    body per level). Reference-binary golden, bit-for-bit."""
+    (Python-unrolled pairwise passes capped at MERGE_NCAND_MAX
+    candidates each). Reference-binary golden, bit-for-bit."""
     case = next(c for c in _cases(golden_dir) if c["name"] == "m8_r1_rc0_l64")
     cfg = DecodeConfig(
         code=ConvCodeConfig(mem=case["mem"], rate=case["rate"],
