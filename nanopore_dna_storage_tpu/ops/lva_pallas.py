@@ -75,21 +75,24 @@ G_LISTS = [tuple(int(g) for g in range(NCRF) if CRF_MASK[f, g])
 NQ_F = [1 + len(gl) for gl in G_LISTS]
 NQ_MAX = max(NQ_F)
 
-# Largest candidate count a single suppression-merge pass may see. Mosaic
-# compile time (and the external compile-helper's kill budget under axon)
-# explodes superlinearly with the per-pass candidate count: 128-candidate
-# pass bodies (m=11 L=16) compile in minutes, a single 256-candidate pass
-# (m=8 L=32) exceeded the helper's ~15-min budget in round 4, 512 never
-# finished in round 3. Larger sets run the exact hierarchical TOURNAMENT
-# merge (see merge_group in _make_kernel), whose passes are unrolled in
-# Python with each pass body kept under this cap.
-MERGE_NCAND_MAX = 128
+# Largest candidate count a single suppression-merge pass may see; larger
+# sets run the exact hierarchical TOURNAMENT merge (see merge_group in
+# _make_kernel), whose passes are unrolled in Python with each pass body
+# kept under this cap. The cap is a COMPILE-budget guard (the axon
+# external compile helper SIGKILLs ~15-25 min compiles). History: the
+# round-4 per-round body could not compile a 256-candidate pass, forcing
+# a 128 cap and a 7-pass tournament for m=8 L=64 (18.5 s/read); the v13
+# body (grouped while-loop rounds, one compiled body per L_UNROLL rounds)
+# compiles a single 512-candidate pass in budget, and the single pass is
+# ~1.8x fewer round-sweeps than the tournament: m=8 L=64 measured
+# 4.61 s/read vs 9.43 (tournament, v13) vs 18.5 (round 4).
+MERGE_NCAND_MAX = int(os.environ.get("NDS_MERGE_NCAND_MAX", "512"))
 
 # Rounds per while-loop iteration for L > 16 suppression passes: one
 # round per iteration pays a scalar-core round-trip per pop (the stall
 # v10 removed for small L by full unrolling), while fully unrolling 64
 # rounds blows the Mosaic compile budget. 4 splits the difference.
-L_UNROLL = 4
+L_UNROLL = int(os.environ.get("NDS_L_UNROLL", "4"))
 
 # Pop implementation for the suppression merge: "argmax" (jnp.max +
 # jnp.argmax + one-hot payload extraction) vs "tree" (adjacent-pairs

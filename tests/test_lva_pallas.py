@@ -29,14 +29,15 @@ def test_pallas_interpret_golden(golden_dir, name):
     assert got == _ref_lists(golden_dir, case["name"]), name
 
 
-def test_pallas_interpret_hierarchical_merge(golden_dir):
-    """List sizes with nq*L > MERGE_NCAND_MAX = 128 (the Mosaic compile
-    cliff; production m=8 L=64) run the exact hierarchical TOURNAMENT
-    merge: Python-unrolled passes capped at MERGE_NCAND_MAX candidates
-    each, levels repeating until one list remains (ops/lva_pallas.py).
-    m=6 L=34 (8*34 = 272 candidates) is the smallest golden shape that
-    exercises a multi-level tournament."""
+def test_pallas_interpret_hierarchical_merge(golden_dir, monkeypatch):
+    """Candidate sets above MERGE_NCAND_MAX run the exact hierarchical
+    TOURNAMENT merge: Python-unrolled passes capped at MERGE_NCAND_MAX
+    candidates each, levels repeating until one list remains
+    (ops/lva_pallas.py). Since v13 the default cap is 512 (no production
+    config exceeds it); pin the cap to 128 here so m=6 L=34
+    (8*34 = 272 candidates) exercises a multi-level tournament."""
     from nanopore_dna_storage_tpu.ops import lva_pallas
+    monkeypatch.setattr(lva_pallas, "MERGE_NCAND_MAX", 128)
     case = next(c for c in _cases(golden_dir) if c["name"] == "m6_r1_rc0_l34")
     assert 8 * case["list_size"] > lva_pallas.MERGE_NCAND_MAX
     cfg = DecodeConfig(
@@ -53,9 +54,10 @@ def test_pallas_interpret_hierarchical_merge(golden_dir):
 
 def test_pallas_interpret_tournament_l64(golden_dir):
     """The production m=8 L=64 shape (supplementary §5.2 default list
-    size): 8*64 = 512 candidates run the multi-LEVEL tournament merge
-    (Python-unrolled pairwise passes capped at MERGE_NCAND_MAX
-    candidates each). Reference-binary golden, bit-for-bit."""
+    size): 8*64 = 512 candidates run as ONE suppression pass under the
+    v13 default cap (grouped while-loop rounds), the configuration
+    benched on hardware at 4.61 s/read. Reference-binary golden,
+    bit-for-bit."""
     case = next(c for c in _cases(golden_dir) if c["name"] == "m8_r1_rc0_l64")
     cfg = DecodeConfig(
         code=ConvCodeConfig(mem=case["mem"], rate=case["rate"],

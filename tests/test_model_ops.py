@@ -122,3 +122,47 @@ def test_weights_header_roundtrip(tmp_path):
         if k == "conv_w":
             got = got.reshape(v.shape)
         np.testing.assert_allclose(got, v, rtol=0, atol=0)
+
+
+@pytest.mark.slow
+def test_weights_header_roundtrip_production_shapes(tmp_path):
+    """The real guppy flip-flop architecture's shapes (supplementary
+    §2.6: conv winlen 19 stride 2 with 256 filters, 5 GRU layers of 256,
+    40-state head) survive an .mdl header round-trip bit-exactly —
+    proving the loader at the scale of the LFS-absent pretrained blobs
+    (networks.c:10-12), not just at test-model size."""
+    from nanopore_dna_storage_tpu.models import weights as wmod
+
+    cfg = ff.FlipflopConfig(winlen=19, stride=2, conv_filters=256,
+                            hidden=256,
+                            layer_dirs=("b", "f", "b", "f", "b"))
+    params = {k: np.asarray(v) for k, v in ff.init_params(cfg, 11).items()}
+    path = tmp_path / "r941_prod.h"
+    wmod.write_model_header(str(path), params, stride=cfg.stride)
+    loaded, stride = wmod.params_from_header(str(path))
+    assert stride == cfg.stride
+    for k, v in params.items():
+        got = loaded[k]
+        if k == "conv_w":
+            got = got.reshape(v.shape)
+        np.testing.assert_allclose(got, v, rtol=0, atol=0)
+
+
+def test_taiyaki_json_import_roundtrip(tmp_path):
+    """Taiyaki/guppy-JSON import path (models/import_taiyaki.py): a
+    params dict exported to the JSON tree re-imports bit-exactly with
+    the right stride and layer directions — the conversion path that
+    makes real R9.4.1 models usable the day one is obtainable."""
+    from nanopore_dna_storage_tpu.models import import_taiyaki as it
+
+    cfg = ff.FlipflopConfig(winlen=19, stride=2, conv_filters=16,
+                            hidden=24,
+                            layer_dirs=("b", "f", "b", "f", "b"))
+    params = {k: np.asarray(v) for k, v in ff.init_params(cfg, 3).items()}
+    path = tmp_path / "model.jsn"
+    it.write_taiyaki_json(str(path), params, stride=2,
+                          layer_dirs=cfg.layer_dirs)
+    loaded, stride, dirs = it.params_from_taiyaki_json(str(path))
+    assert stride == 2 and dirs == cfg.layer_dirs
+    for k, v in params.items():
+        np.testing.assert_allclose(loaded[k], v, rtol=0, atol=1e-7)
