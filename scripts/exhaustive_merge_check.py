@@ -34,9 +34,9 @@ CONFIGS = {
     # where the full-length XLA compile is impractical (2 vCPUs). The
     # payloads are sized so the 264-round m=11 exhaustive decode stays
     # within ~1 h on the 2-vCPU box (msg_len 37 measured ~5.4 h).
-    "m11cpu": dict(mem=11, rate=5, msg_len=27, list_size=8, dev=8,
+    "m11cpu": dict(mem=11, rate=5, msg_len=25, list_size=8, dev=6,
                    reads=1),
-    "m14cpu": dict(mem=14, rate=5, msg_len=21, list_size=4, dev=8,
+    "m14cpu": dict(mem=14, rate=5, msg_len=19, list_size=4, dev=6,
                    reads=1),
 }
 
@@ -115,9 +115,11 @@ def main():
             "n_lists": [len(x) for x in lists["xla_exhaustive"]],
         }
         print(json.dumps({name: results[name]}), flush=True)
+        # write incrementally: a partial run still leaves a valid artifact
+        pathlib.Path(args.out).write_text(
+            json.dumps(results, indent=1) + "\n")
         assert eq_def and eq_pal, f"{name}: merge-round mismatch"
 
-    pathlib.Path(args.out).write_text(json.dumps(results, indent=1) + "\n")
     print("EXHAUSTIVE CHECK OK", flush=True)
 
 

@@ -73,7 +73,7 @@ def test_signal_fidelity_floor_production_recipe():
     #    (interpret) path — so the production config's signal regression
     #    is pinned by CI, not only by the hardware JSON artifact.
     exp11 = ExperimentConfig(bytes_per_oligo=2, rs_redundancy=0.5,
-                             conv_mem=11, conv_rate=5)
+                             conv_mem=11, conv_rate=5, pad=True)
     data11 = rng.integers(0, 256, 8, np.uint8).tobytes()
     enc11 = encode_bytes(data11, exp11)
     stats11, _ = simulate_and_decode_signal(
