@@ -102,6 +102,22 @@ L_UNROLL = int(os.environ.get("NDS_L_UNROLL", "4"))
 # override for kernel experiments only.
 POP_IMPL = os.environ.get("NDS_POP_IMPL", "argmax")
 
+# Candidate-expansion implementation for MULTI-TILE codes (CT < C, i.e.
+# m >= 11): "mxu" computes y[r] = src[r >> logk] as a one-hot
+# selection-matrix matmul on the MXU, "roll" is the v1-v13 lane-roll
+# butterfly. The VPU roofline (docs/VPU_ROOFLINE.json) measured rolls at
+# ~1/4 of elementwise throughput, making the butterfly the kernel's
+# dominant section (42% of m=11 wall-clock); a [5*8*L, CT/k]@[CT/k, CT]
+# matmul at HIGHEST precision does the same permutation bit-exactly
+# (probed: scripts/tpu_mxu_probe3.py — 0/1 columns select f32 payloads
+# exactly under the TPU's bf16-multipass f32 emulation, and 16-bit
+# integer halves reassemble int32 hashes exactly) at ~0.4 us per
+# candidate vs ~2.3 us for the butterfly. Scores ride the matmul with
+# -inf clamped to -2^127 (exact in bf16; -inf itself would turn the
+# 0-weight products into NaN) and restored after.
+EXPAND_IMPL = os.environ.get("NDS_EXPAND_IMPL", "mxu")
+CLAMPF = float(-(2.0 ** 127))  # finite stand-in for -inf inside the matmul
+
 
 def sel_format(L: int):
     """(dtype, shift) of the per-slot selection code q*shift + lsrc.
@@ -170,6 +186,9 @@ class PallasConsts(NamedTuple):
     final_rev: int
     ct: int
     nstages: tuple  # (k=2 stages, k=4 stages), static
+    emx: np.ndarray  # f32 [2, CT/2, CT] one-hot expansion matrices:
+    #                  emx[kvar][s, r] = 1 iff s == r >> (kvar+1)
+    #                  (kvar=1 uses only the first CT/4 rows)
 
 
 def build_consts(spec, tabs: tb.TrellisTables, ct: int | None = None
@@ -205,12 +224,16 @@ def build_consts(spec, tabs: tb.TrellisTables, ct: int | None = None
                 f"base map not injective (pattern {p})"
             any_hit = hit.any(axis=0)
             cstar[p, beta] = np.where(any_hit, hit.argmax(axis=0), -1)
+    emx = np.zeros((2, CT // 2, CT), np.float32)
+    r = np.arange(CT)
+    emx[0, r >> 1, r] = 1.0
+    emx[1, r >> 2, r] = 1.0
     return PallasConsts(
         perm=perm, borev=borev, nbrev=nbrev, valid=valid, pattern=pattern,
         bfly=bfly, stay_idx=tb.stay_post_index(), move_idx=tb.move_post_index(),
         qmap=qmap, cstar=cstar, init_rev=int(perm[code.initial_state]),
         final_rev=int(perm[code.final_state]), ct=CT,
-        nstages=nst)
+        nstages=nst, emx=emx)
 
 
 def _hupd(h, shift, nb, p: int):
@@ -244,6 +267,14 @@ def _narrow(spec, consts) -> bool:
     return spec.list_size > 16 and wide_bytes > 32 * 1024 * 1024
 
 
+def _use_mxu(spec, consts) -> bool:
+    """MXU selection-matrix expansion: multi-tile wide path only (the
+    small-code candidates are rolls of the full row — a different, per-
+    candidate matrix — and their expansion is not the bottleneck)."""
+    return (consts.ct != spec.code.nstate_conv
+            and not _narrow(spec, consts) and EXPAND_IMPL == "mxu")
+
+
 def _make_kernel(spec, consts: PallasConsts, interpret: bool):
     """Build the per-block ACS kernel (one grid step per (window position,
     conv tile); CRF destinations unrolled inside).
@@ -268,6 +299,7 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
     roll = jnp.roll if interpret else pltpu.roll
     small = consts.ct == spec.code.nstate_conv  # one conv tile
     narrow = _narrow(spec, consts)
+    mxu = _use_mxu(spec, consts)
     use_k0 = bool((np.asarray(consts.pattern)[1:] == 0).any())
     use_k1 = bool((np.asarray(consts.pattern)[1:] != 0).any())
     i32f = partial(jax.lax.bitcast_convert_type, new_dtype=jnp.float32)
@@ -278,6 +310,13 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
             (r_sc, r_h1, r_h2, s_sc, s_h1, s_h2, stay_tr, move_tr,
              borev, nbrev, valid, bfly, pattern, active,
              o_sc, o_h1, o_h2, o_sel, xpd, xpd2, cnd) = rest
+        elif mxu:
+            mvv = rest[:18]  # [kvar qoff] x (sc, h1, h2) views
+            k2v = [mvv[3 * q: 3 * q + 3] for q in range(2)]
+            k4v = [mvv[6 + 3 * q: 9 + 3 * q] for q in range(4)]
+            (s_sc, s_h1, s_h2, stay_tr, move_tr,
+             borev, nbrev, valid, bfly, pattern, active, emx,
+             o_sc, o_h1, o_h2, o_sel, xpd, xpd2, cnd, xmx) = rest[18:]
         else:
             mvv = rest[:18]  # [kvar qoff] x (sc, h1, h2) views
             k2v = [mvv[3 * q: 3 * q + 3] for q in range(2)]
@@ -356,12 +395,48 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
                     xpd2[slot, 2] = i32f(jnp.tile(v[2][0], (1, 1, k)))
 
             def expand_all(kvar, ncs):
-                """All ncs candidate expansions as ONE wide butterfly."""
+                """All ncs candidate expansions: MXU selection matmuls
+                (multi-tile codes) or ONE wide butterfly."""
                 if os.environ.get("NDS_FAKE_EXPAND"):
                     # timing experiment ONLY (wrong lists): skip the
                     # butterfly + source staging; feed the stay planes so
                     # downstream work keeps its real shape and cost
                     return [(psc, ph1, ph2)] * ncs
+                if mxu:
+                    # y[..., r] = v[..., r >> logk] as [5*8*L, n]@[n, CT]
+                    # with one-hot columns: exact for f32 scores (HIGHEST;
+                    # -inf clamped to -2^127 so 0-weights don't make NaN)
+                    # and for int32 hashes via two 16-bit halves.
+                    n = CT // (2 << kvar)
+                    e = emx[kvar, pl.ds(0, n)]
+                    outs = []
+                    for c in range(ncs):
+                        qoff = c if kvar == 0 else ((c & 1) << 1) | (c >> 1)
+                        v = k2v[qoff] if kvar == 0 else k4v[qoff]
+                        sc, h1, h2 = v[0][0], v[1][0], v[2][0]
+                        xmx[0, :, :, pl.ds(0, n)] = jnp.maximum(sc, CLAMPF)
+                        xmx[1, :, :, pl.ds(0, n)] = (
+                            h1 & 0xFFFF).astype(jnp.float32)
+                        xmx[2, :, :, pl.ds(0, n)] = (
+                            h1 >> 16).astype(jnp.float32)
+                        xmx[3, :, :, pl.ds(0, n)] = (
+                            h2 & 0xFFFF).astype(jnp.float32)
+                        xmx[4, :, :, pl.ds(0, n)] = (
+                            h2 >> 16).astype(jnp.float32)
+                        x2 = xmx[:, :, :, pl.ds(0, n)].reshape(
+                            5 * NCRF * L, n)
+                        y = jax.lax.dot_general(
+                            x2, e, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        ).reshape(5, NCRF, L, CT)
+                        sc_e = jnp.where(y[0] == CLAMPF, NEG, y[0])
+                        h1_e = y[1].astype(jnp.int32) | (
+                            y[2].astype(jnp.int32) << 16)
+                        h2_e = y[3].astype(jnp.int32) | (
+                            y[4].astype(jnp.int32) << 16)
+                        outs.append((sc_e, h1_e, h2_e))
+                    return outs
                 for c in range(ncs):
                     _fill_src(c, kvar, c)
                 y = butterfly(xpd2[0:ncs], takes2 if kvar == 0 else takes4,
@@ -831,6 +906,11 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
                         memory_space=vm),
            pl.BlockSpec(memory_space=pltpu.SMEM),  # pattern
            pl.BlockSpec(memory_space=pltpu.SMEM)])  # active
+    mxu = _use_mxu(spec, consts)
+    if mxu:
+        in_specs.append(pl.BlockSpec((2, CT // 2, CT),
+                                     lambda w, ci, s: (0, 0, 0),
+                                     memory_space=vm))  # emx
     out_specs = [b_tile] * 3 + [
         pl.BlockSpec((1, NCRF * L, CT), lambda w, ci, s: (w, 0, ci),
                      memory_space=vm)]
@@ -853,7 +933,9 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
                                  (4 if (consts.pattern[1:] != 0).any()
                                   else 2),
                                  3, NCRF, L, CT), jnp.float32),
-                            pltpu.VMEM((12, NCRF, L, CT), jnp.float32)]),
+                            pltpu.VMEM((12, NCRF, L, CT), jnp.float32)]
+            + ([pltpu.VMEM((5, NCRF, L, CT // 2), jnp.float32)]
+               if mxu else [])),
         out_shape=out_shape,
         input_output_aliases={stale_base: 0, stale_base + 1: 1,
                               stale_base + 2: 2},
@@ -865,12 +947,14 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
+    extra = (cdev["emx"],) if mxu else ()
     return fn(
         jnp.reshape(jnp.asarray(start1, jnp.int32), (1,)),
         p_sc, p_h1, p_h2, *mv_args, s_sc, s_h1, s_h2,
         stay_tr.astype(jnp.float32), move_tr.astype(jnp.float32),
         cdev["borev"], cdev["nbrev"], cdev["valid"], cdev["bfly"],
-        cdev["pattern"], jnp.reshape(jnp.asarray(active, jnp.int32), (1,)))
+        cdev["pattern"], jnp.reshape(jnp.asarray(active, jnp.int32), (1,)),
+        *extra)
 
 
 # ---------------------------------------------------------------------------
@@ -1105,7 +1189,8 @@ class PallasDecoder:
             valid=jnp.asarray(c.valid), bfly=jnp.asarray(c.bfly),
             pattern=jnp.asarray(c.pattern),
             stay_idx=jnp.asarray(c.stay_idx),
-            move_idx=jnp.asarray(c.move_idx))
+            move_idx=jnp.asarray(c.move_idx),
+            emx=jnp.asarray(c.emx))
         self._tbdev = dict(
             qmap=jnp.asarray(c.qmap), pattern=jnp.asarray(c.pattern),
             nbrev=jnp.asarray(c.nbrev), cstar=jnp.asarray(c.cstar))
