@@ -324,7 +324,11 @@ def _make_kernel(spec, consts: PallasConsts, interpret: bool):
             (s_sc, s_h1, s_h2, stay_tr, move_tr,
              borev, nbrev, valid, bfly, pattern, active,
              o_sc, o_h1, o_h2, o_sel, xpd, xpd2, cnd) = rest[18:]
-        w = pl.program_id(0)
+        w = pl.program_id(1)  # grid is (conv tile, window position):
+        # tile-major so per-tile constant blocks (borev/nbrev/valid/emx and
+        # the qoff source views' lane blocking) stay resident across all W
+        # positions instead of re-DMAing every cell (the emx block alone is
+        # 1 MB; tile-minor order re-fetched it 85k times per m=11 read)
         pos = start_ref[0] + w
         pat = pattern[pos]
         is1 = pat == 0
@@ -870,11 +874,11 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
 
     vm = pltpu.VMEM
     b_tile = pl.BlockSpec((1, NCRF, L, CT),
-                          lambda w, ci, s: (s[0] + w, 0, 0, ci),
+                          lambda ci, w, s: (s[0] + w, 0, 0, ci),
                           memory_space=vm)
     if small:
         b_row = pl.BlockSpec((1, NCRF, L, C),
-                             lambda w, ci, s: (s[0] + w - 1, 0, 0, 0),
+                             lambda ci, w, s: (s[0] + w - 1, 0, 0, 0),
                              memory_space=vm)
         mv_specs = [b_row] * 3
         mv_args = [p_sc, p_h1, p_h2]
@@ -887,7 +891,7 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
         def b_part(k, qoff):
             return pl.BlockSpec(
                 (1, NCRF, L, CT // k),
-                lambda w, ci, s, _q=qoff: (s[0] + w - 1, 0, 0,
+                lambda ci, w, s, _q=qoff: (s[0] + w - 1, 0, 0,
                                            _q * n_ct + ci),
                 memory_space=vm)
 
@@ -898,21 +902,21 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
         [b_tile] * 3 + mv_specs + [b_tile] * 3
         + [pl.BlockSpec(memory_space=pltpu.SMEM),  # stay_tr
            pl.BlockSpec(memory_space=pltpu.SMEM)]  # move_tr
-        + [pl.BlockSpec((4, 4, CT), lambda w, ci, s: (0, 0, ci),
+        + [pl.BlockSpec((4, 4, CT), lambda ci, w, s: (0, 0, ci),
                         memory_space=vm),
-           pl.BlockSpec((2, CT), lambda w, ci, s: (0, ci), memory_space=vm),
-           pl.BlockSpec((Pv, CT), lambda w, ci, s: (0, ci), memory_space=vm),
-           pl.BlockSpec((2, NST, CT), lambda w, ci, s: (0, 0, 0),
+           pl.BlockSpec((2, CT), lambda ci, w, s: (0, ci), memory_space=vm),
+           pl.BlockSpec((Pv, CT), lambda ci, w, s: (0, ci), memory_space=vm),
+           pl.BlockSpec((2, NST, CT), lambda ci, w, s: (0, 0, 0),
                         memory_space=vm),
            pl.BlockSpec(memory_space=pltpu.SMEM),  # pattern
            pl.BlockSpec(memory_space=pltpu.SMEM)])  # active
     mxu = _use_mxu(spec, consts)
     if mxu:
         in_specs.append(pl.BlockSpec((2, CT // 2, CT),
-                                     lambda w, ci, s: (0, 0, 0),
+                                     lambda ci, w, s: (0, 0, 0),
                                      memory_space=vm))  # emx
     out_specs = [b_tile] * 3 + [
-        pl.BlockSpec((1, NCRF * L, CT), lambda w, ci, s: (w, 0, ci),
+        pl.BlockSpec((1, NCRF * L, CT), lambda ci, w, s: (w, 0, ci),
                      memory_space=vm)]
     out_shape = [
         jax.ShapeDtypeStruct((P, NCRF, L, C), jnp.float32),
@@ -925,7 +929,7 @@ def acs_block(spec, consts: PallasConsts, cdev: Dict, prev, stale, postf,
     fn = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(W, n_ct), in_specs=in_specs,
+            num_scalar_prefetch=1, grid=(n_ct, W), in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[pltpu.VMEM((3, NCRF, L, CT), jnp.float32),
                             pltpu.VMEM(
